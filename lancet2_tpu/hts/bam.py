@@ -1,0 +1,349 @@
+"""BAM container reader/writer in pure Python (numpy-assisted).
+
+The execution image has neither htslib nor pysam, so BAM decode/encode is
+implemented against the SAM/BAM spec directly. This replaces the role of the
+reference's `hts::Extractor` / `hts::Alignment` (reference:
+src/lancet/hts/extractor.{h,cpp}, alignment.{h,cpp}).
+
+Design notes (TPU-first pipeline):
+  * Whole-file decode into per-contig, start-sorted in-memory record arrays;
+    region queries are then binary searches. Windows are served thousands of
+    times per contig, so one linear decode amortizes far better than htslib's
+    per-window BGZF seeks. A native C++/libdeflate decoder is the planned
+    replacement for multi-GB inputs (same interface).
+  * Field decode is lazy-ish: seq/qual are kept as raw packed bytes until a
+    record is actually collected for assembly (mirrors the reference's
+    measured 3-4x lazy-decode win, SURVEY.md hts layer notes).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from lancet2_tpu.hts import bgzf
+from lancet2_tpu.hts.cigar import Cigar, cigar_to_str, CONSUMES_REF
+
+BAM_MAGIC = b"BAM\x01"
+
+# 4-bit nibble code -> ASCII base (SAM spec table).
+NIBBLE_BASES = "=ACMGRSVTWYHKDBN"
+_NIBBLE_DECODE = np.frombuffer(NIBBLE_BASES.encode(), dtype=np.uint8)
+_BASE_TO_NIBBLE = {ch: idx for idx, ch in enumerate(NIBBLE_BASES)}
+
+FLAG_PAIRED = 0x1
+FLAG_PROPER_PAIR = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_READ1 = 0x40
+FLAG_READ2 = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUP = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+
+@dataclass
+class BamRecord:
+    qname: str
+    flag: int
+    ref_id: int
+    pos0: int  # 0-based leftmost
+    mapq: int
+    cigar: Cigar
+    next_ref_id: int
+    next_pos0: int
+    tlen: int
+    seq: str
+    qual: np.ndarray  # uint8 phred values
+    tags: dict[str, object]
+
+    @property
+    def is_unmapped(self) -> bool:
+        return bool(self.flag & FLAG_UNMAPPED)
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & FLAG_REVERSE)
+
+    @property
+    def is_duplicate(self) -> bool:
+        return bool(self.flag & FLAG_DUP)
+
+    @property
+    def is_qcfail(self) -> bool:
+        return bool(self.flag & FLAG_QCFAIL)
+
+    @property
+    def is_proper_pair(self) -> bool:
+        return bool(self.flag & FLAG_PROPER_PAIR)
+
+    @property
+    def is_mate_mapped(self) -> bool:
+        return not self.flag & FLAG_MATE_UNMAPPED
+
+    @property
+    def length(self) -> int:
+        return len(self.seq)
+
+    def reference_end0(self) -> int:
+        """0-based exclusive end on the reference."""
+        return self.pos0 + sum(l for op, l in self.cigar if op in CONSUMES_REF)
+
+
+def _decode_seq(packed: bytes, l_seq: int) -> str:
+    nib = np.frombuffer(packed, dtype=np.uint8)
+    hi = nib >> 4
+    lo = nib & 0x0F
+    both = np.empty(nib.size * 2, dtype=np.uint8)
+    both[0::2] = hi
+    both[1::2] = lo
+    return _NIBBLE_DECODE[both[:l_seq]].tobytes().decode("ascii")
+
+
+def _encode_seq(seq: str) -> bytes:
+    codes = np.fromiter(
+        (_BASE_TO_NIBBLE.get(ch.upper(), 15) for ch in seq), dtype=np.uint8, count=len(seq)
+    )
+    if codes.size % 2:
+        codes = np.append(codes, 0)
+    return ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
+
+
+def _parse_aux(buf: bytes) -> dict[str, object]:
+    tags: dict[str, object] = {}
+    off = 0
+    n = len(buf)
+    while off + 3 <= n:
+        tag = buf[off : off + 2].decode("ascii")
+        typ = chr(buf[off + 2])
+        off += 3
+        if typ == "A":
+            tags[tag] = chr(buf[off]); off += 1
+        elif typ in "cC":
+            tags[tag] = struct.unpack_from("<b" if typ == "c" else "<B", buf, off)[0]; off += 1
+        elif typ in "sS":
+            tags[tag] = struct.unpack_from("<h" if typ == "s" else "<H", buf, off)[0]; off += 2
+        elif typ in "iI":
+            tags[tag] = struct.unpack_from("<i" if typ == "i" else "<I", buf, off)[0]; off += 4
+        elif typ == "f":
+            tags[tag] = struct.unpack_from("<f", buf, off)[0]; off += 4
+        elif typ in "ZH":
+            end = buf.index(b"\x00", off)
+            tags[tag] = buf[off:end].decode("ascii")
+            off = end + 1
+        elif typ == "B":
+            sub = chr(buf[off]); count = struct.unpack_from("<I", buf, off + 1)[0]
+            off += 5
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+            width = struct.calcsize(fmt)
+            tags[tag] = list(struct.unpack_from(f"<{count}{fmt}", buf, off))
+            off += count * width
+        else:
+            break  # unknown type: cannot continue safely
+    return tags
+
+
+def _encode_aux(tags: dict[str, object]) -> bytes:
+    out = bytearray()
+    for tag, val in tags.items():
+        out += tag.encode("ascii")
+        if isinstance(val, bool):
+            raise TypeError("bool aux values unsupported")
+        if isinstance(val, int):
+            out += b"i" + struct.pack("<i", val)
+        elif isinstance(val, float):
+            out += b"f" + struct.pack("<f", val)
+        elif isinstance(val, str):
+            out += b"Z" + val.encode("ascii") + b"\x00"
+        elif isinstance(val, (list, tuple, np.ndarray)):
+            arr = np.asarray(val, dtype=np.int32)
+            out += b"B" + b"i" + struct.pack("<I", arr.size) + arr.astype("<i4").tobytes()
+        else:
+            raise TypeError(f"unsupported aux value type for {tag}: {type(val)}")
+    return bytes(out)
+
+
+class BamReader:
+    """Decode a BAM file into memory with per-contig region query support."""
+
+    def __init__(self, path: str):
+        self.path = path
+        data = bgzf.decompress_file(path)
+        if data[:4] != BAM_MAGIC:
+            raise ValueError(f"{path} is not a BAM file")
+        l_text = struct.unpack_from("<i", data, 4)[0]
+        self.header_text = data[8 : 8 + l_text].rstrip(b"\x00").decode("utf-8")
+        off = 8 + l_text
+        n_ref = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        self.references: list[tuple[str, int]] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", data, off)[0]
+            name = data[off + 4 : off + 4 + l_name - 1].decode("ascii")
+            l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
+            self.references.append((name, l_ref))
+            off += 8 + l_name
+        self._ref_index = {name: i for i, (name, _) in enumerate(self.references)}
+        self._records_raw = self._parse_records(data, off)
+        self._by_contig: dict[int, tuple[np.ndarray, np.ndarray, list[BamRecord]]] | None = None
+
+    def _parse_records(self, data: bytes, off: int) -> list[BamRecord]:
+        records = []
+        n = len(data)
+        unpack_core = struct.Struct("<iiiBBHHHiiii").unpack_from
+        while off + 4 <= n:
+            (block_size,) = struct.unpack_from("<i", data, off)
+            start = off + 4
+            off = start + block_size
+            (
+                ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
+                l_seq, next_ref, next_pos, tlen,
+            ) = unpack_core(data, start - 4)[1:]
+            p = start + 32
+            qname = data[p : p + l_read_name - 1].decode("ascii")
+            p += l_read_name
+            cigar_raw = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=p)
+            cigar = [(int(c & 0xF), int(c >> 4)) for c in cigar_raw]
+            p += 4 * n_cigar
+            seq = _decode_seq(data[p : p + (l_seq + 1) // 2], l_seq)
+            p += (l_seq + 1) // 2
+            qual = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=p).copy()
+            p += l_seq
+            tags = _parse_aux(data[p:off])
+            records.append(
+                BamRecord(qname, flag, ref_id, pos, mapq, cigar, next_ref, next_pos, tlen, seq, qual, tags)
+            )
+        return records
+
+    def ref_name(self, ref_id: int) -> str:
+        return self.references[ref_id][0] if 0 <= ref_id < len(self.references) else "*"
+
+    def ref_id(self, name: str) -> int:
+        return self._ref_index.get(name, -1)
+
+    def all_records(self) -> list[BamRecord]:
+        return self._records_raw
+
+    def _build_index(self) -> None:
+        by: dict[int, list[BamRecord]] = {}
+        for rec in self._records_raw:
+            if rec.ref_id < 0:
+                continue
+            by.setdefault(rec.ref_id, []).append(rec)
+        self._by_contig = {}
+        for rid, recs in by.items():
+            recs.sort(key=lambda r: r.pos0)
+            starts = np.array([r.pos0 for r in recs], dtype=np.int64)
+            ends = np.array([r.reference_end0() for r in recs], dtype=np.int64)
+            # running max of ends enables binary-search lower bound on overlap
+            run_max_end = np.maximum.accumulate(ends)
+            self._by_contig[rid] = (starts, run_max_end, recs)
+
+    def fetch(self, chrom: str, start1: int, end1: int) -> list[BamRecord]:
+        """All records overlapping [start1, end1] (1-based inclusive)."""
+        if self._by_contig is None:
+            self._build_index()
+        rid = self.ref_id(chrom)
+        entry = self._by_contig.get(rid)
+        if entry is None:
+            return []
+        starts, run_max_end, recs = entry
+        lo0, hi0 = start1 - 1, end1  # half-open
+        # records with start < hi0 and end > lo0
+        hi_idx = int(np.searchsorted(starts, hi0, side="left"))
+        out = []
+        # scan backwards until running max end <= lo0 proves no more overlaps
+        for i in range(hi_idx - 1, -1, -1):
+            if run_max_end[i] <= lo0:
+                break
+            rec = recs[i]
+            if rec.reference_end0() > lo0:
+                out.append(rec)
+        out.reverse()
+        return out
+
+
+class BamWriter:
+    """Compose a coordinate-sorted BAM file (used by tests and the simulator)."""
+
+    def __init__(self, path: str, references: list[tuple[str, int]], sample_name: str | None = None,
+                 read_group: str | None = None, extra_header: str = ""):
+        self.path = path
+        self.references = references
+        header_lines = ["@HD\tVN:1.6\tSO:coordinate"]
+        for name, length in references:
+            header_lines.append(f"@SQ\tSN:{name}\tLN:{length}")
+        if sample_name is not None:
+            rg = read_group or sample_name
+            header_lines.append(f"@RG\tID:{rg}\tSM:{sample_name}")
+        if extra_header:
+            header_lines.append(extra_header.rstrip("\n"))
+        self.header_text = "\n".join(header_lines) + "\n"
+        self._records: list[BamRecord] = []
+
+    def add(self, rec: BamRecord) -> None:
+        self._records.append(rec)
+
+    @staticmethod
+    def _reg2bin(beg: int, end: int) -> int:
+        end -= 1
+        if beg >> 14 == end >> 14:
+            return ((1 << 15) - 1) // 7 + (beg >> 14)
+        if beg >> 17 == end >> 17:
+            return ((1 << 12) - 1) // 7 + (beg >> 17)
+        if beg >> 20 == end >> 20:
+            return ((1 << 9) - 1) // 7 + (beg >> 20)
+        if beg >> 23 == end >> 23:
+            return ((1 << 6) - 1) // 7 + (beg >> 23)
+        if beg >> 26 == end >> 26:
+            return ((1 << 3) - 1) // 7 + (beg >> 26)
+        return 0
+
+    def _encode_record(self, rec: BamRecord) -> bytes:
+        name = rec.qname.encode("ascii") + b"\x00"
+        cigar_raw = b"".join(struct.pack("<I", (l << 4) | op) for op, l in rec.cigar)
+        seq_packed = _encode_seq(rec.seq)
+        qual = np.asarray(rec.qual, dtype=np.uint8).tobytes()
+        if len(qual) != len(rec.seq):
+            qual = b"\xff" * len(rec.seq)
+        aux = _encode_aux(rec.tags)
+        end0 = max(rec.reference_end0(), rec.pos0 + 1)
+        core = struct.pack(
+            "<iiBBHHHiiii",
+            rec.ref_id, rec.pos0, len(name), rec.mapq,
+            self._reg2bin(rec.pos0, end0), len(rec.cigar), rec.flag,
+            len(rec.seq), rec.next_ref_id, rec.next_pos0, rec.tlen,
+        )
+        body = core + name + cigar_raw + seq_packed + qual + aux
+        return struct.pack("<i", len(body)) + body
+
+    def close(self) -> None:
+        self._records.sort(key=lambda r: (r.ref_id if r.ref_id >= 0 else 1 << 30, r.pos0))
+        out = bytearray()
+        header_bytes = self.header_text.encode("utf-8")
+        out += BAM_MAGIC
+        out += struct.pack("<i", len(header_bytes))
+        out += header_bytes
+        out += struct.pack("<i", len(self.references))
+        for name, length in self.references:
+            nb = name.encode("ascii") + b"\x00"
+            out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+        for rec in self._records:
+            out += self._encode_record(rec)
+        with open(self.path, "wb") as fh:
+            fh.write(bgzf.compress_bytes(bytes(out)))
+
+
+def parse_sample_name(header_text: str) -> str | None:
+    """First SM tag from @RG lines (reference: core/sample_header_reader)."""
+    for line in header_text.splitlines():
+        if line.startswith("@RG"):
+            for fieldv in line.split("\t")[1:]:
+                if fieldv.startswith("SM:"):
+                    return fieldv[3:]
+    return None
