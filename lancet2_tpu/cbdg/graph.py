@@ -1,0 +1,661 @@
+"""Colored bidirected de Bruijn graph: construction, pruning, k-retry loop.
+
+Re-implements the semantics of the reference assembly core
+(reference: src/lancet/cbdg/graph.{h,cpp}) with a TPU-first split:
+
+  * k-mer counting / canonicalization / expected-error filtering / mate-mer
+    dedup run fully vectorized over numpy arrays (one batch per window); the
+    same formulation maps 1:1 onto the jax device pipeline in
+    lancet2_tpu.ops.graph_tpu (sort + segment-sum over padded batches).
+  * the *pruned* graph (typically 10^2..10^3 nodes) is materialized as Python
+    node objects for compression / tip removal / walk enumeration, whose
+    observable output is the haplotype sequence set.
+
+Pipeline per window (reference: graph.cpp:106-235):
+  for k in min_k..max_k step k_step:
+    skip k if reference window has an exact/approx (<=2 mismatch) k-mer repeat
+    build graph from ref + reads (k+1-mers -> nodes + bidirected edges)
+    remove low-coverage nodes; mark connected components (desc. by size)
+    per component: source/sink ref anchors (>=150bp apart), prune
+      (compress -> lowcov -> compress -> tips), CSR traversal index,
+      cycle check -> retry k, complexity guard (CC>=50 & BP>=50) -> retry k,
+      confidence-ordered walk enumeration -> haplotypes
+    stop at first k that yields results
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import numpy as np
+
+from lancet2_tpu.base.dna import decode, revcomp_codes
+from lancet2_tpu.base.phred import PHRED_TO_ERROR_PROB
+from lancet2_tpu.base.repeat import has_approx_repeat
+from lancet2_tpu.base.stats import median_u32
+from lancet2_tpu.cbdg.complexity import GraphComplexity, compute_component_complexity
+from lancet2_tpu.cbdg.kmer import (
+    MINUS,
+    PLUS,
+    canonicalize_batch,
+    dst_sign,
+    flip_sign,
+    kmer_ids,
+    make_kind,
+    merge_codes,
+    rev_kind,
+    src_sign,
+)
+from lancet2_tpu.cbdg.max_flow import MaxFlow
+from lancet2_tpu.cbdg.path import ComponentResult, EnumeratedHaplotype, Path
+from lancet2_tpu.cbdg.read import LABEL_CASE, LABEL_CTRL, LABEL_REFERENCE, Read
+from lancet2_tpu.cbdg.traversal import build_traversal_index, has_cycle
+
+DEFAULT_MIN_KMER_LEN = 13
+DEFAULT_MAX_KMER_LEN = 127
+DEFAULT_KMER_STEP_LEN = 6
+DEFAULT_MIN_NODE_COV = 2
+DEFAULT_MIN_ANCHOR_COV = 5
+DEFAULT_MIN_ANCHOR_LENGTH = 150
+
+
+class Edge(NamedTuple):
+    src: int
+    dst: int
+    kind: int
+
+    def mirror(self) -> "Edge":
+        return Edge(self.dst, self.src, rev_kind(self.kind))
+
+    @property
+    def is_self_loop(self) -> bool:
+        return self.src == self.dst
+
+    @property
+    def src_sign(self) -> int:
+        return src_sign(self.kind)
+
+    @property
+    def dst_sign(self) -> int:
+        return dst_sign(self.kind)
+
+
+class Node:
+    """Graph node: canonical (possibly unitig-merged) sequence + colors."""
+
+    __slots__ = ("nid", "codes", "sign", "label", "comp_id", "counts", "role_counts", "edges")
+
+    def __init__(self, nid: int, codes: np.ndarray, sign: int, label: int, num_samples: int):
+        self.nid = nid
+        self.codes = codes
+        self.sign = sign  # sign labeling the canonical (DEFAULT) orientation
+        self.label = label
+        self.comp_id = 0
+        self.counts = np.zeros(num_samples, dtype=np.int64)
+        self.role_counts = [0, 0]  # [CTRL, CASE]
+        self.edges: list[Edge] = []
+
+    # -- sequence ---------------------------------------------------------
+    @property
+    def seq_len(self) -> int:
+        return len(self.codes)
+
+    def sequence_for(self, ordering_default: bool) -> np.ndarray:
+        return self.codes if ordering_default else revcomp_codes(self.codes)
+
+    def sign_for(self, ordering_default: bool) -> int:
+        return self.sign if ordering_default else flip_sign(self.sign)
+
+    # -- colors / support -------------------------------------------------
+    def has_tag(self, tag: int) -> bool:
+        return bool(self.label & tag)
+
+    def total_support(self) -> int:
+        return int(self.counts.sum())
+
+    def support_for_role(self, tag: int) -> int:
+        return self.role_counts[1 if tag == LABEL_CASE else 0]
+
+    def is_all_singletons(self) -> bool:
+        return bool((self.counts > 0).any()) and bool((self.counts <= 1).all())
+
+    def confidence(self, num_samples: int) -> int:
+        """floor(total * concordance) + ref_bonus (reference: Node::Confidence)."""
+        if self.is_all_singletons():
+            return 1
+        total = self.total_support()
+        if total == 0:
+            return 0
+        confirming = int((self.counts > 0).sum())
+        concordance = confirming / max(num_samples, 1)
+        ref_bonus = 1 if self.has_tag(LABEL_REFERENCE) else 0
+        return int(total * concordance) + ref_bonus
+
+    # -- edges ------------------------------------------------------------
+    def emplace_edge(self, edge: Edge) -> None:
+        if edge not in self.edges:
+            self.edges.append(edge)
+
+    def erase_edge(self, edge: Edge) -> None:
+        try:
+            self.edges.remove(edge)
+        except ValueError:
+            pass
+
+    @property
+    def num_out_edges(self) -> int:
+        return len(self.edges)
+
+    def has_self_loop(self) -> bool:
+        return any(e.is_self_loop for e in self.edges)
+
+    def edges_in_direction(self, ordering_default: bool) -> list[Edge]:
+        want = self.sign_for(ordering_default)
+        return [e for e in self.edges if e.src_sign == want]
+
+    # -- merging (unitig compaction) --------------------------------------
+    def merge(self, other: "Node", kind: int, k: int) -> None:
+        """Absorb `other` along a connecting edge (reference: Node::Merge).
+
+        Sequence merge follows the BCALM2 MergeCords rules; per-sample counts
+        and role counts become length-weighted averages of the two nodes.
+        """
+        this_len = self.seq_len
+        other_len = other.seq_len
+        self.codes = merge_codes(self.codes, other.codes, kind, k)
+        self.label |= other.label
+        total_len = this_len + other_len
+        self.counts = (
+            (self.counts.astype(np.int64) * this_len + other.counts.astype(np.int64) * other_len)
+            // total_len
+        )
+        self.role_counts = [
+            (self.role_counts[i] * this_len + other.role_counts[i] * other_len) // total_len
+            for i in range(2)
+        ]
+
+
+@dataclass
+class GraphParams:
+    min_kmer_len: int = DEFAULT_MIN_KMER_LEN
+    max_kmer_len: int = DEFAULT_MAX_KMER_LEN
+    kmer_step_len: int = DEFAULT_KMER_STEP_LEN
+    min_node_cov: int = DEFAULT_MIN_NODE_COV
+    min_anchor_cov: int = DEFAULT_MIN_ANCHOR_COV
+    num_samples: int = 0
+
+
+class _RefAnchor(NamedTuple):
+    anchor_id: int
+    ref_offset: int
+    found: bool
+
+
+@dataclass
+class _ComponentInfo:
+    comp_id: int
+    num_nodes: int = 0
+
+
+class Graph:
+    """Per-window colored bidirected de Bruijn graph (one per worker)."""
+
+    def __init__(self, params: GraphParams, probe_tracker=None):
+        self.params = params
+        self.nodes: dict[int, Node] = {}
+        self.ref_node_ids: list[int] = []
+        self.source_sink = (0, 0)
+        self.curr_k = 0
+        self.probe_tracker = probe_tracker
+
+    # ------------------------------------------------------------------
+    # Entry point: k-retry cascade (reference: Graph::BuildComponentResults)
+    # ------------------------------------------------------------------
+    def build_component_results(
+        self, ref_codes: np.ndarray, reads: list[Read]
+    ) -> list[ComponentResult]:
+        params = self.params
+        results: list[ComponentResult] = []
+        k = params.min_kmer_len - params.kmer_step_len
+        probe = self.probe_tracker
+
+        while not results and (k + params.kmer_step_len) <= params.max_kmer_len:
+            k += params.kmer_step_len
+            self.curr_k = k
+            self.source_sink = (0, 0)
+
+            # de Bruijn graph over a repeat-bearing reference would contain a
+            # cycle by construction — skip this k outright.
+            if has_approx_repeat(ref_codes, k, max_mismatch=2):
+                continue
+
+            self._build_graph(ref_codes, reads, k)
+            if probe is not None:
+                probe.on_graph_built(self, k)
+            self._remove_low_cov_nodes(0)
+            if probe is not None:
+                probe.log_stage("lowcov1", self, k)
+            components = self._mark_connected_components()
+
+            retry_k = False
+            for cinfo in components:
+                comp_id = cinfo.comp_id
+                source = self._find_source(comp_id)
+                sink = self._find_sink(comp_id)
+                if not source.found or not sink.found or source.anchor_id == sink.anchor_id:
+                    if probe is not None:
+                        probe.set_status(comp_id, "no_anchor")
+                    continue
+                anchor_len = sink.ref_offset - source.ref_offset + k
+                if anchor_len < DEFAULT_MIN_ANCHOR_LENGTH:
+                    if probe is not None:
+                        probe.set_status(comp_id, "short_anchor")
+                    continue
+
+                self.source_sink = (source.anchor_id, sink.anchor_id)
+                ref_anchor_codes = ref_codes[source.ref_offset : source.ref_offset + anchor_len]
+                self._prune_component(comp_id, probe, k)
+
+                trav = build_traversal_index(self.nodes, self.source_sink, comp_id)
+                if has_cycle(trav):
+                    if probe is not None:
+                        probe.set_status(comp_id, "cycle")
+                    retry_k = True
+                    break
+
+                gcplx = compute_component_complexity(self.nodes, comp_id)
+                if gcplx.is_complex:
+                    if probe is not None:
+                        probe.set_status(comp_id, "complex")
+                    retry_k = True
+                    break
+
+                haps = self._build_haplotypes(comp_id, trav, ref_anchor_codes, probe)
+                if probe is not None:
+                    probe.check_paths(haps, comp_id, k)
+                if not haps:
+                    continue
+                results.append(ComponentResult(haps, gcplx, source.ref_offset))
+
+            if retry_k:
+                results.clear()
+                continue
+
+        return results
+
+    # ------------------------------------------------------------------
+    # Phase 1: vectorized construction
+    # ------------------------------------------------------------------
+    def _build_graph(self, ref_codes: np.ndarray, reads: list[Read], k: int) -> None:
+        self.nodes = {}
+        self.ref_node_ids = []
+        num_samples = self.params.num_samples
+
+        seqs: list[np.ndarray] = []
+        seq_meta: list[tuple[int, int, int, int]] = []  # (label, sample_idx, tag, qhash)
+        if len(ref_codes) >= k + 1:
+            seqs.append(np.asarray(ref_codes, dtype=np.uint8))
+            seq_meta.append((LABEL_REFERENCE, -1, 0, 0))
+        for read in reads:
+            if not read.passes_aln_filters or len(read.codes) < k + 1:
+                continue
+            seqs.append(read.codes)
+            seq_meta.append((read.tag, read.sample_index, read.tag, read.qname_hash))
+        if not seqs:
+            return
+
+        # K-merize every sequence; collect global occurrence arrays.
+        kmer_blocks = []
+        occ_seq_idx = []
+        occ_ee_ok = []
+        kept_reads = iter([r for r in reads if r.passes_aln_filters and len(r.codes) >= k + 1])
+        for si, codes in enumerate(seqs):
+            m = len(codes) - k + 1
+            kmer_blocks.append(np.lib.stride_tricks.sliding_window_view(codes, k))
+            occ_seq_idx.append(np.full(m, si, dtype=np.int64))
+            if seq_meta[si][0] == LABEL_REFERENCE:
+                occ_ee_ok.append(np.zeros(m, dtype=bool))  # ref adds nodes, no support
+            else:
+                # Expected-error k-mer filter: floor(sum of error probs) > 0
+                # excludes the k-mer from read support (reference:
+                # graph.cpp:296-304). Prefix sums give O(1) range queries.
+                read = next(kept_reads)
+                errs = PHRED_TO_ERROR_PROB[np.clip(read.qual, 0, 255)]
+                prefix = np.concatenate([[0.0], np.cumsum(errs)])
+                window_err = prefix[k:] - prefix[:-k]
+                occ_ee_ok.append(np.floor(window_err[:m]) <= 0)
+
+        all_kmers = np.concatenate(kmer_blocks, axis=0)
+        seq_idx = np.concatenate(occ_seq_idx)
+        ee_ok = np.concatenate(occ_ee_ok)
+
+        canonical, occ_signs = canonicalize_batch(all_kmers)
+        ids = kmer_ids(canonical)
+
+        # --- node table: first-occurrence wins for codes/sign/label -------
+        uniq_ids, first_idx = np.unique(ids, return_index=True)
+        # materialize in first-occurrence order for deterministic iteration
+        order = np.argsort(first_idx, kind="stable")
+        labels = np.array([seq_meta[si][0] for si in range(len(seqs))], dtype=np.int64)
+        for ui in order:
+            nid = int(uniq_ids[ui])
+            fi = int(first_idx[ui])
+            node = Node(
+                nid,
+                np.ascontiguousarray(canonical[fi]),
+                int(occ_signs[fi]),
+                int(labels[seq_idx[fi]]),
+                num_samples,
+            )
+            self.nodes[nid] = node
+
+        # --- ref path node ids (in ref kmer order) ------------------------
+        if seq_meta and seq_meta[0][0] == LABEL_REFERENCE:
+            ref_m = len(seqs[0]) - k + 1
+            self.ref_node_ids = [int(i) for i in ids[:ref_m]]
+
+        # --- read support: expected-error filter + mate-mer dedup --------
+        read_occ = np.nonzero(ee_ok)[0]
+        if read_occ.size:
+            qhashes = np.array([seq_meta[si][3] for si in range(len(seqs))], dtype=np.uint64)
+            tags = np.array([seq_meta[si][2] for si in range(len(seqs))], dtype=np.uint8)
+            sample_idxs = np.array([seq_meta[si][1] for si in range(len(seqs))], dtype=np.int64)
+            occ_q = qhashes[seq_idx[read_occ]]
+            occ_tag = tags[seq_idx[read_occ]]
+            occ_id = ids[read_occ]
+            occ_sample = sample_idxs[seq_idx[read_occ]]
+            # MateMer dedup: one support increment per (qname, kmer, tag)
+            # (reference: graph.cpp:290-307) — both mates of a pair count once.
+            key = np.empty(read_occ.size, dtype=[("q", "u8"), ("i", "u8"), ("t", "u1")])
+            key["q"] = occ_q
+            key["i"] = occ_id
+            key["t"] = occ_tag
+            _, keep = np.unique(key, return_index=True)
+            kept_ids = occ_id[keep]
+            kept_samples = occ_sample[keep]
+            kept_tags = occ_tag[keep]
+            for nid, sidx, tag in zip(kept_ids, kept_samples, kept_tags):
+                node = self.nodes[int(nid)]
+                node.counts[int(sidx)] += 1
+                node.role_counts[1 if tag == LABEL_CASE else 0] += 1
+
+        # --- edges: unique ordered consecutive pairs ----------------------
+        pair_src_list = []
+        pair_dst_list = []
+        off = 0
+        for si, codes in enumerate(seqs):
+            m = len(codes) - k + 1
+            if m >= 2:
+                pair_src_list.append(ids[off : off + m - 1])
+                pair_dst_list.append(ids[off + 1 : off + m])
+            off += m
+        if pair_src_list:
+            pair_src = np.concatenate(pair_src_list)
+            pair_dst = np.concatenate(pair_dst_list)
+            pk = np.empty(pair_src.size, dtype=[("s", "u8"), ("d", "u8")])
+            pk["s"] = pair_src
+            pk["d"] = pair_dst
+            uniq_pairs = np.unique(pk)
+            for s_id, d_id in zip(uniq_pairs["s"], uniq_pairs["d"]):
+                s_node = self.nodes[int(s_id)]
+                d_node = self.nodes[int(d_id)]
+                # Edge kind derives from the *stored* node signs — the sign each
+                # node was first created with (reference: graph.cpp:333-336).
+                kind = make_kind(s_node.sign, d_node.sign)
+                fwd = Edge(int(s_id), int(d_id), kind)
+                s_node.emplace_edge(fwd)
+                d_node.emplace_edge(fwd.mirror())
+
+    # ------------------------------------------------------------------
+    # Phase 2: pruning primitives
+    # ------------------------------------------------------------------
+    def _remove_node(self, nid: int) -> None:
+        node = self.nodes.get(nid)
+        if node is None:
+            return
+        for edge in node.edges:
+            if edge.is_self_loop:
+                continue
+            nb = self.nodes.get(edge.dst)
+            if nb is not None:
+                nb.erase_edge(edge.mirror())
+        if self.probe_tracker is not None:
+            self.probe_tracker.on_node_remove(nid)
+        del self.nodes[nid]
+
+    def _remove_low_cov_nodes(self, comp_id: int) -> None:
+        source_id, sink_id = self.source_sink
+        min_cov = self.params.min_node_cov
+        to_remove = [
+            nid
+            for nid, node in self.nodes.items()
+            if node.comp_id == comp_id
+            and nid not in (source_id, sink_id)
+            and (node.is_all_singletons() or node.total_support() < min_cov)
+        ]
+        for nid in to_remove:
+            self._remove_node(nid)
+
+    def _mark_connected_components(self) -> list[_ComponentInfo]:
+        current = 0
+        infos: list[_ComponentInfo] = []
+        for nid, node in self.nodes.items():
+            if node.comp_id != 0:
+                continue
+            current += 1
+            info = _ComponentInfo(comp_id=current)
+            stack = [node]
+            while stack:
+                cur = stack.pop()
+                if cur.comp_id != 0:
+                    continue
+                cur.comp_id = current
+                info.num_nodes += 1
+                for edge in cur.edges:
+                    nb = self.nodes.get(edge.dst)
+                    if nb is not None and nb.comp_id == 0:
+                        stack.append(nb)
+            infos.append(info)
+        infos.sort(key=lambda i: -i.num_nodes)
+        return infos
+
+    # ------------------------------------------------------------------
+    # Phase 3: anchors
+    # ------------------------------------------------------------------
+    def _find_source(self, comp_id: int) -> _RefAnchor:
+        min_cov = self.params.min_anchor_cov
+        for ref_idx, nid in enumerate(self.ref_node_ids):
+            node = self.nodes.get(nid)
+            if node is None or node.comp_id != comp_id or node.total_support() < min_cov:
+                continue
+            return _RefAnchor(nid, ref_idx, True)
+        return _RefAnchor(0, 0, False)
+
+    def _find_sink(self, comp_id: int) -> _RefAnchor:
+        min_cov = self.params.min_anchor_cov
+        for ref_idx in range(len(self.ref_node_ids) - 1, -1, -1):
+            nid = self.ref_node_ids[ref_idx]
+            node = self.nodes.get(nid)
+            if node is None or node.comp_id != comp_id or node.total_support() < min_cov:
+                continue
+            return _RefAnchor(nid, ref_idx, True)
+        return _RefAnchor(0, 0, False)
+
+    # ------------------------------------------------------------------
+    # Phase 4: compression + tips (reference: graph.cpp:515-840)
+    # ------------------------------------------------------------------
+    def _prune_component(self, comp_id: int, probe, k: int) -> None:
+        self._compress_graph(comp_id)
+        if probe is not None:
+            probe.log_stage("compress1", self, k)
+        self._remove_low_cov_nodes(comp_id)
+        if probe is not None:
+            probe.log_stage("lowcov2", self, k)
+        self._compress_graph(comp_id)
+        if probe is not None:
+            probe.log_stage("compress2", self, k)
+        self._remove_tips(comp_id)
+        if probe is not None:
+            probe.log_stage("tips", self, k)
+
+    def _compress_graph(self, comp_id: int) -> None:
+        removed: set[int] = set()
+        for nid in list(self.nodes.keys()):
+            node = self.nodes.get(nid)
+            if node is None or node.comp_id != comp_id or nid in removed:
+                continue
+            self._compress_node(nid, True, removed)
+            self._compress_node(nid, False, removed)
+        for nid in removed:
+            self._remove_node(nid)
+
+    def _compress_node(self, nid: int, ordering_default: bool, removed: set[int]) -> None:
+        node = self.nodes[nid]
+        k = self.curr_k
+        edge = self._find_compressible_edge(node, ordering_default)
+        while edge is not None:
+            buddy = self.nodes[edge.dst]
+            if self.probe_tracker is not None:
+                self.probe_tracker.on_node_merge(edge.dst, nid)
+            node.merge(buddy, edge.kind, k)
+            node.erase_edge(edge)
+
+            # Rewire buddy's remaining edges to the surviving node, flipping the
+            # propagated source sign when the buddy's internal sign-continuity
+            # flips (reference: graph.cpp:600-645, BCALM2 walk rule).
+            rev_src_sign = flip_sign(edge.src_sign)
+            for b2n in buddy.edges:
+                if b2n == edge.mirror():
+                    continue
+                nb = self.nodes[b2n.dst]
+                ne_src_sign = rev_src_sign if edge.dst_sign != b2n.src_sign else edge.src_sign
+                new_edge = Edge(nid, b2n.dst, make_kind(ne_src_sign, b2n.dst_sign))
+                node.emplace_edge(new_edge)
+                nb.emplace_edge(new_edge.mirror())
+                nb.erase_edge(b2n.mirror())
+
+            removed.add(edge.dst)
+            # buddy stays in the table until the batch delete; clear its edges
+            # so it cannot be picked as someone else's buddy again
+            buddy.edges = []
+            edge = self._find_compressible_edge(node, ordering_default)
+
+    def _find_compressible_edge(self, node: Node, ordering_default: bool) -> Edge | None:
+        if node.num_out_edges > 2 or node.num_out_edges == 0 or node.has_self_loop():
+            return None
+        source_id, sink_id = self.source_sink
+        if node.nid in (source_id, sink_id):
+            return None
+        mergeable = node.edges_in_direction(ordering_default)
+        if len(mergeable) != 1:
+            return None
+        cand = mergeable[0]
+        if cand.dst in (source_id, sink_id):
+            return None
+        if cand.dst not in self.nodes:
+            return None
+        if not self._is_potential_buddy_edge(node, cand):
+            return None
+        opp = node.edges_in_direction(not ordering_default)
+        if not opp:
+            return cand
+        if len(opp) > 1:
+            return None
+        if opp[0].dst not in self.nodes or not self._is_potential_buddy_edge(node, opp[0]):
+            return None
+        return cand
+
+    def _is_potential_buddy_edge(self, src: Node, conn: Edge) -> bool:
+        nbour = self.nodes[conn.dst]
+        # Degenerate mutual degree-1 pair would merge into a zero-edge node.
+        if src.num_out_edges == 1 and nbour.num_out_edges == 1:
+            if src.edges[0].dst == nbour.nid and nbour.edges[0].dst == src.nid:
+                return False
+        if nbour.num_out_edges > 2 or nbour.num_out_edges == 0 or nbour.has_self_loop():
+            return False
+
+        expected = conn.mirror()
+        dir_default = expected.src_sign == nbour.sign_for(True)
+        nb_edges = nbour.edges_in_direction(dir_default)
+        if len(nb_edges) != 1 or nb_edges[0] != expected:
+            return False
+
+        opp_edges = nbour.edges_in_direction(not dir_default)
+        if len(opp_edges) != 1 or opp_edges[0].dst == conn.src:
+            return False
+        nnb = self.nodes.get(opp_edges[0].dst)
+        return nnb is not None and nnb.num_out_edges <= 2
+
+    def _remove_tips(self, comp_id: int) -> None:
+        current_tips = 1
+        while current_tips > 0:
+            source_id, sink_id = self.source_sink
+            k = self.curr_k
+            to_remove = []
+            for nid, node in self.nodes.items():
+                if (
+                    node.comp_id != comp_id
+                    or nid in (source_id, sink_id)
+                    or node.num_out_edges > 1
+                ):
+                    continue
+                uniq_len = node.seq_len - k + 1
+                if uniq_len >= k:
+                    continue
+                to_remove.append(nid)
+            if to_remove:
+                for nid in to_remove:
+                    self._remove_node(nid)
+                self._compress_graph(comp_id)
+            current_tips = len(to_remove)
+
+    # ------------------------------------------------------------------
+    # Phase 5: haplotype enumeration
+    # ------------------------------------------------------------------
+    def _build_haplotypes(
+        self, comp_id: int, trav, ref_anchor_codes: np.ndarray, probe
+    ) -> list[EnumeratedHaplotype]:
+        max_flow = MaxFlow(self.nodes, self.curr_k, trav, self.params.num_samples)
+        haps: list[EnumeratedHaplotype] = []
+        hap = max_flow.next_path()
+        while hap is not None:
+            haps.append(hap)
+            hap = max_flow.next_path()
+        if max_flow.hit_traversal_limit and probe is not None:
+            probe.set_status(comp_id, "traversal_limit")
+        if not haps:
+            return haps
+
+        # ALTs sorted by descending weakest-link confidence; duplicates keep
+        # the highest-MinWeight copy; drop paths identical to the ref anchor.
+        haps.sort(key=lambda h: -h.path.min_weight())
+        ref_anchor_seq = decode(ref_anchor_codes)
+        seen: set[str] = set()
+        deduped = []
+        for hap in haps:
+            seq = hap.path.sequence
+            if seq in seen or seq == ref_anchor_seq:
+                continue
+            seen.add(seq)
+            deduped.append(hap)
+        haps = deduped
+
+        haps.insert(0, self._build_ref_haplotype(comp_id, ref_anchor_seq))
+        return haps
+
+    def _build_ref_haplotype(self, comp_id: int, ref_anchor_seq: str) -> EnumeratedHaplotype:
+        """REF path weighted by median surviving REF-node confidence
+        (reference: graph.cpp:902-924)."""
+        num_samples = self.params.num_samples
+        confidences = [
+            node.confidence(num_samples)
+            for node in self.nodes.values()
+            if node.comp_id == comp_id and node.has_tag(LABEL_REFERENCE)
+        ]
+        ref_weight = median_u32(confidences) if confidences else 1
+        path = Path()
+        path.append_sequence(ref_anchor_seq)
+        path.add_node_weight(ref_weight, len(ref_anchor_seq))
+        path.finalize()
+        return EnumeratedHaplotype(path=path, walk=[])

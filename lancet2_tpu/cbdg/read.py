@@ -1,0 +1,90 @@
+"""Assembly read model: deep-copied read with sample/role metadata + filters.
+
+Reference: src/lancet/cbdg/read.h — MAPQ>=20 gates graph participation
+(PassesAlnFilters); soft-clip fraction >= 6% of read length flags the read
+for the SCA feature (computed from the original whole-genome alignment CIGAR).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lancet2_tpu.base.dna import encode
+from lancet2_tpu.base.hashing import hash_str64
+from lancet2_tpu.hts.bam import BamRecord
+from lancet2_tpu.hts.cigar import S as CIGAR_S
+
+# Role tags (bitmask values mirror reference cbdg::Label).
+LABEL_REFERENCE = 1
+LABEL_CTRL = 2
+LABEL_CASE = 4
+
+MIN_READ_MAPQ = 20
+SOFT_CLIP_FRAC_THRESHOLD = 0.06
+
+
+@dataclass
+class Read:
+    qname: str
+    seq: str
+    qual: np.ndarray  # uint8
+    sample_name: str
+    sample_index: int
+    tag: int  # LABEL_CTRL or LABEL_CASE
+    chrom_index: int
+    start0: int
+    mapq: int
+    sam_flag: int
+    insert_size: int
+    is_soft_clipped: bool
+    passes_aln_filters: bool
+    codes: np.ndarray = field(default=None, repr=False)  # lazy uint8 encoding
+    qname_hash: int = field(default=0)
+
+    @classmethod
+    def from_bam(cls, rec: BamRecord, sample_name: str, tag: int, sample_index: int) -> "Read":
+        total_clip = sum(l for op, l in rec.cigar if op == CIGAR_S)
+        clip_frac = total_clip / rec.length if rec.length > 0 else 0.0
+        return cls(
+            qname=rec.qname,
+            seq=rec.seq,
+            qual=np.asarray(rec.qual, dtype=np.uint8),
+            sample_name=sample_name,
+            sample_index=sample_index,
+            tag=tag,
+            chrom_index=rec.ref_id,
+            start0=rec.pos0,
+            mapq=rec.mapq,
+            sam_flag=rec.flag,
+            insert_size=rec.tlen,
+            is_soft_clipped=clip_frac >= SOFT_CLIP_FRAC_THRESHOLD,
+            passes_aln_filters=rec.mapq >= MIN_READ_MAPQ,
+            codes=encode(rec.seq),
+            qname_hash=hash_str64(rec.qname),
+        )
+
+    @property
+    def length(self) -> int:
+        return len(self.seq)
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.sam_flag & 0x10)
+
+    @property
+    def is_proper_pair(self) -> bool:
+        return bool(self.sam_flag & 0x2)
+
+
+def sort_key(read: Read):
+    """Deterministic 6-key read ordering (reference: core/read_collector.cpp:42-53)."""
+    return (
+        0 if read.passes_aln_filters else 1,
+        read.tag,
+        read.sample_name,
+        read.qname,
+        read.chrom_index,
+        read.start0,
+    )
