@@ -1,0 +1,185 @@
+"""Read -> haplotype allele assignment via batched glocal alignment.
+
+Replaces the reference's per-read minimap2 pipeline (reference:
+src/lancet/caller/genotyper.{h,cpp}) with one batched DP over all
+(read x haplotype) pairs of a component — the reference's measured 36%
+minimap2 CPU budget becomes a single data-parallel device dispatch.
+
+Semantics preserved:
+  * every read is aligned to every haplotype — no early exit (cross-haplotype
+    score comparison requires all alignments)
+  * per (alignment, variant) overlap: local region scoring, keep the best
+    CombinedScore per variant across haplotypes
+  * the NM baseline against the REF haplotype is computed once per read
+  * evidence rows feed VariantSupport keyed (variant -> sample)
+
+Divergence note: minimap2 returns "no hit" for unalignable reads (no seed
+chain); our DP always produces a best-effort alignment, so a minimum score
+gate (score >= read_len/4 by default) stands in for mapability filtering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lancet2_tpu.base.dna import encode
+from lancet2_tpu.caller.scoring import (
+    ReadAlleleAssignment,
+    compute_edit_distance_cigar,
+    score_read_at_variant,
+)
+from lancet2_tpu.caller.support import STRAND_FWD, STRAND_REV, ReadEvidence, VariantSupport
+from lancet2_tpu.caller.variant import RawVariant
+from lancet2_tpu.cbdg.read import Read
+from lancet2_tpu.ops.affine_dp import READ_TO_HAP, align_batch_numpy, traceback_batch
+
+REF_HAP_IDX = 0
+_PAIR_CHUNK = 512
+
+
+def _pad(seqs: list[np.ndarray]):
+    width = max((len(s) for s in seqs), default=1)
+    out = np.full((len(seqs), width), 5, dtype=np.uint8)
+    lens = np.zeros(len(seqs), dtype=np.int64)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+        lens[i] = len(s)
+    return out, lens
+
+
+class Genotyper:
+    def __init__(self, backend: str = "numpy", min_score_frac: float = 0.25):
+        self.backend = backend
+        self.min_score_frac = min_score_frac
+
+    def _align_all(self, hap_codes: list[np.ndarray], reads: list[Read]):
+        """Batched alignment of every (read, hap) pair; returns nested list
+        alns[read_idx][hap_idx] = {score, t_start, t_end, cigar, hap_idx}."""
+        n_reads, n_haps = len(reads), len(hap_codes)
+        pair_q = []
+        pair_t = []
+        for read in reads:
+            for h in range(n_haps):
+                pair_q.append(read.codes)
+                pair_t.append(hap_codes[h])
+
+        results: list[dict] = []
+        for lo in range(0, len(pair_q), _PAIR_CHUNK):
+            hi = min(lo + _PAIR_CHUNK, len(pair_q))
+            qs, qlens = _pad(pair_q[lo:hi])
+            ts, tlens = _pad(pair_t[lo:hi])
+            if self.backend == "jax":
+                from lancet2_tpu.ops.affine_dp_jax import align_dirs_jax
+
+                score, t_end, dirs = align_dirs_jax(qs, qlens, ts, tlens, READ_TO_HAP)
+                out = {"score": score, "t_end": t_end, "dirs": dirs}
+            else:
+                out = align_batch_numpy(qs, qlens, ts, tlens, READ_TO_HAP)
+            cigars = traceback_batch(
+                np.asarray(out["dirs"]), qlens, np.asarray(out["t_end"], dtype=np.int64), READ_TO_HAP
+            )
+            for b in range(hi - lo):
+                cigar = cigars[b]
+                t_span = sum(l for op, l in cigar if op in (0, 2))
+                t_end = int(out["t_end"][b])
+                results.append(
+                    {
+                        "score": int(out["score"][b]),
+                        "t_end": t_end,
+                        "t_start": t_end - t_span,
+                        "cigar": cigar,
+                    }
+                )
+
+        alns = []
+        idx = 0
+        for _ in range(n_reads):
+            per_hap = []
+            for h in range(n_haps):
+                res = dict(results[idx])
+                res["hap_idx"] = h
+                per_hap.append(res)
+                idx += 1
+            alns.append(per_hap)
+        return alns
+
+    @staticmethod
+    def _extract_hap_bounds(variant: RawVariant, hap_idx: int):
+        """(var_start, var_len, allele_idx) of this variant on haplotype hap_idx,
+        or None when the haplotype doesn't carry it."""
+        if hap_idx == REF_HAP_IDX:
+            return variant.local_ref_start0, len(variant.ref_allele), 0
+        for alt_pos, alt in enumerate(variant.alts):
+            start = alt.local_hap_starts.get(hap_idx)
+            if start is not None:
+                return start, len(alt.sequence), alt_pos + 1
+        return None
+
+    def genotype(
+        self, hap_seqs: list[str], reads: list[Read], variants: list[RawVariant]
+    ) -> dict[int, dict[str, VariantSupport]]:
+        """Returns {variant_index: {sample_name: VariantSupport}}."""
+        if not variants or not reads:
+            return {}
+        hap_codes = [encode(h) for h in hap_seqs]
+        alns = self._align_all(hap_codes, reads)
+
+        result: dict[int, dict[str, VariantSupport]] = {}
+        for read, per_hap in zip(reads, alns):
+            min_score = int(self.min_score_frac * read.length)
+            valid = [a for a in per_hap if a["score"] >= min_score and a["t_end"] > a["t_start"]]
+            if not valid:
+                continue
+
+            # O(1)-per-read NM baseline against the REF haplotype
+            ref_aln = per_hap[REF_HAP_IDX]
+            if ref_aln in valid:
+                ref_slice = hap_codes[REF_HAP_IDX][ref_aln["t_start"] : ref_aln["t_end"]]
+                baseline_ref_nm = compute_edit_distance_cigar(
+                    ref_aln["cigar"], read.codes, ref_slice
+                )
+            else:
+                baseline_ref_nm = read.length
+
+            assignments: dict[int, ReadAlleleAssignment] = {}
+            for aln in valid:
+                hap_idx = aln["hap_idx"]
+                for vi, variant in enumerate(variants):
+                    bounds = self._extract_hap_bounds(variant, hap_idx)
+                    if bounds is None:
+                        continue
+                    var_start, var_len, allele_idx = bounds
+                    if not (var_start + var_len > aln["t_start"] and var_start < aln["t_end"]):
+                        continue
+                    scored = score_read_at_variant(
+                        aln, hap_codes[hap_idx], read.codes, read.qual,
+                        read.length, var_start, var_len, allele_idx,
+                    )
+                    scored.ref_nm = baseline_ref_nm
+                    prev = assignments.get(vi)
+                    if prev is None or scored.combined_score > prev.combined_score:
+                        assignments[vi] = scored
+
+            strand = STRAND_REV if read.is_reverse else STRAND_FWD
+            for vi, scored in assignments.items():
+                supports = result.setdefault(vi, {})
+                support = supports.setdefault(read.sample_name, VariantSupport())
+                support.add_evidence(
+                    ReadEvidence(
+                        insert_size=read.insert_size,
+                        alignment_start=read.start0,
+                        aln_score=scored.combined_score,
+                        folded_read_pos=scored.folded_read_pos,
+                        rname_hash=read.qname_hash & 0xFFFFFFFF,
+                        ref_nm=scored.ref_nm,
+                        own_hap_nm=scored.own_hap_nm,
+                        assigned_haplotype_id=scored.assigned_haplotype_id,
+                        allele=scored.allele,
+                        strand=strand,
+                        base_qual=scored.base_qual_at_var,
+                        map_qual=read.mapq,
+                        is_soft_clipped=read.is_soft_clipped,
+                        is_proper_pair=read.is_proper_pair,
+                    )
+                )
+        return result
