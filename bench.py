@@ -1,0 +1,126 @@
+"""Benchmark: device window-step throughput + alignment-kernel GCUPS.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+Measurement note: through the axon TPU tunnel, `block_until_ready` does not
+reliably wait for device completion, so both benches run K iterations inside
+one jitted `lax.scan` with an explicit data dependency between iterations
+(the previous output perturbs the next input) and a single host transfer at
+the end. Per-iteration time = total / K, with the one-off RTT amortized.
+
+Baseline (BASELINE.md): the reference CPU caller averages 414 ms/window
+=> ~2.4 windows/s/core, ~154 windows/s for the 64-thread baseline in the
+driver's north star. Headline metric = device-compute windows/s/chip of the
+batched window step (all read x haplotype glocal DP + allele counting + DM
+genotyping); vs_baseline = value / 154.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+CHAIN_K = 16
+
+
+def bench_sw_kernel():
+    """Amortized fitting-DP GCUPS over a chained-scan of CHAIN_K aligns."""
+    import jax
+    import jax.numpy as jnp
+
+    from lancet2_tpu.ops.affine_dp import READ_TO_HAP
+    from lancet2_tpu.ops.affine_dp_jax import _make_align
+
+    align = _make_align(READ_TO_HAP, with_dirs=False)
+    B, Lq, Lt = 2048, 152, 1024
+
+    def chained(q, ql, t, tl):
+        def body(carry, _):
+            s, _te = align(carry, ql, t, tl)
+            # fold the score into the next query -> sequential dependency
+            nxt = (carry + (s[:, None] & 1).astype(jnp.uint8)) % 4
+            return nxt, s[0]
+        _, ss = jax.lax.scan(body, q, None, length=CHAIN_K)
+        return ss
+
+    fn = jax.jit(chained)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(0, 4, (B, Lq)), jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, Lt)), jnp.uint8)
+    ql = jnp.full((B,), Lq, jnp.int32)
+    tl = jnp.full((B,), Lt, jnp.int32)
+    np.asarray(fn(q, ql, t, tl))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(fn(q, ql, t, tl))
+    per_align = (time.perf_counter() - t0) / CHAIN_K
+    return B * Lq * Lt / per_align / 1e9, per_align
+
+
+def bench_window_step():
+    """Amortized device window-step throughput on a representative shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from lancet2_tpu.ops.window_step import make_window_step, synth_window_batch
+
+    W, R, L, H, LH = 16, 128, 128, 4, 512
+    rng = np.random.default_rng(1)
+    batch = synth_window_batch(
+        rng, num_windows=W, reads_per_window=R, read_len=L, num_haps=H,
+        hap_len=LH, num_samples=2,
+    )
+    step = make_window_step(2, 2)
+    args_static = (
+        batch["read_lens"], batch["read_sample"], batch["read_valid"],
+        batch["haps"], batch["hap_lens"], batch["hap_allele"],
+    )
+
+    def chained(reads, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele):
+        def body(carry, _):
+            out = step(carry, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele)
+            bump = (out["allele_counts"].sum().astype(jnp.uint8) & 1)
+            nxt = (carry + bump) % 4
+            return nxt, out["gq"][0, 0]
+        _, ss = jax.lax.scan(body, reads, None, length=CHAIN_K)
+        return ss
+
+    fn = jax.jit(chained)
+    np.asarray(fn(batch["reads"], *args_static))
+    t0 = time.perf_counter()
+    np.asarray(fn(batch["reads"], *args_static))
+    per_step = (time.perf_counter() - t0) / CHAIN_K
+    cells = W * R * H * L * LH
+    return W / per_step, cells / per_step / 1e9, per_step
+
+
+def main():
+    import jax
+
+    device = jax.devices()[0]
+    sw_gcups, sw_dt = bench_sw_kernel()
+    win_per_s, step_gcups, step_dt = bench_window_step()
+
+    baseline_64t_windows_per_s = 154.0  # 2.4 win/s/core x 64 (BASELINE.md)
+    result = {
+        "metric": "microassembly_device_windows_per_s_per_chip",
+        "value": round(win_per_s, 2),
+        "unit": "windows/s",
+        "vs_baseline": round(win_per_s / baseline_64t_windows_per_s, 3),
+        "extra": {
+            "device": str(device),
+            "sw_kernel_gcups": round(sw_gcups, 2),
+            "sw_kernel_ms_per_batch": round(sw_dt * 1e3, 2),
+            "window_step_gcups": round(step_gcups, 2),
+            "window_step_ms": round(step_dt * 1e3, 2),
+            "window_step_shape": "W16xR128xH4 (128bp reads, 512bp haps)",
+            "note": "device compute path only (batched DP + allele counts + DM PLs); host BAM IO not included; chained-scan timing",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""CLI: `lancet2-tpu pipeline ...` mirroring the reference's flag surface.
+
+Reference: src/lancet/cli/cli_interface.cpp:144-316, pipeline_runner.cpp.
+"""
+
+from __future__ import annotations
+
+import argparse
+import resource
+import sys
+import time
+
+from lancet2_tpu.cbdg.graph import GraphParams
+from lancet2_tpu.cli.vcf_header import build_vcf_header
+from lancet2_tpu.core.pipeline import PipelineExecutor
+from lancet2_tpu.core.read_collector import CollectorParams
+from lancet2_tpu.core.sample_info import make_sample_list
+from lancet2_tpu.core.variant_builder import BuilderParams
+from lancet2_tpu.core.window_builder import WindowBuilder, WindowParams
+from lancet2_tpu.core.active_region import has_md_tag
+from lancet2_tpu.hts.bgzf import BgzfWriter
+from lancet2_tpu.hts.fasta import Reference
+from lancet2_tpu.utils.logging import configure, get_logger
+
+LOG = get_logger("cli")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="lancet2-tpu",
+        description="TPU-native microassembly somatic/germline variant caller",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    pl = sub.add_parser("pipeline", help="run the variant calling pipeline")
+
+    # sample inputs
+    pl.add_argument("-n", "--normal", action="append", default=[], help="normal/control BAM")
+    pl.add_argument("-t", "--tumor", action="append", default=[], help="tumor/case BAM")
+    pl.add_argument(
+        "-s", "--sample", action="append", default=[],
+        help="unified sample spec '<path>:<role>' (role: control|case)",
+    )
+    pl.add_argument("-r", "--reference", required=True, help="indexed reference FASTA")
+    pl.add_argument("-o", "--out-vcfgz", required=True, help="output bgzip VCF path")
+
+    # regions
+    pl.add_argument("-R", "--region", action="append", default=[], help="region spec(s)")
+    pl.add_argument("-b", "--bed-file", default=None, help="BED file of regions")
+    pl.add_argument("-P", "--padding", type=int, default=500)
+    pl.add_argument("-p", "--pct-overlap", type=int, default=20, choices=range(10, 91),
+                    metavar="[10-90]")
+    pl.add_argument("-w", "--window-size", type=int, default=1000)
+
+    # execution
+    pl.add_argument("-T", "--num-threads", type=int, default=2)
+    pl.add_argument("--aligner-backend", choices=["numpy", "jax"], default="numpy")
+
+    # graph params
+    pl.add_argument("-k", "--min-kmer", type=int, default=13)
+    pl.add_argument("-K", "--max-kmer", type=int, default=127)
+    pl.add_argument("--kmer-step", type=int, default=6)
+    pl.add_argument("--min-anchor-cov", type=int, default=5)
+    pl.add_argument("--min-node-cov", type=int, default=2)
+    pl.add_argument("--max-sample-cov", type=float, default=1000.0)
+
+    # toggles
+    pl.add_argument("--verbose", action="store_true")
+    pl.add_argument("--extract-pairs", action="store_true")
+    pl.add_argument("--no-active-region", action="store_true")
+    pl.add_argument("--no-contig-check", action="store_true")
+    pl.add_argument("--genome-gc-bias", type=float, default=0.41)
+
+    # diagnostics
+    pl.add_argument("--probe-variants", default=None,
+                    help="truth VCF/TSV of variants to trace through the pipeline")
+    pl.add_argument("--probe-results", default=None, help="probe forensics TSV output")
+    pl.add_argument("--out-graphs-dir", default=None,
+                    help="directory for per-window graph snapshots (DOT/JSON)")
+    return parser
+
+
+def run_pipeline(args, command_line: str) -> dict:
+    configure(args.verbose)
+    t0 = time.monotonic()
+
+    if not args.normal and not args.tumor and not args.sample:
+        raise SystemExit("at least one of --normal/--tumor/--sample is required")
+
+    ref = Reference(args.reference)
+    samples = make_sample_list(args.normal, args.tumor, args.sample)
+    LOG.info("loaded %d sample(s): %s", len(samples),
+             ", ".join(f"{s.sample_name}({'case' if s.tag == 4 else 'ctrl'})" for s in samples))
+
+    # MD-tag probe: active-region prescan needs MD or X CIGAR ops; if the
+    # first sample lacks MD tags, force --no-active-region (reference:
+    # pipeline_runner.cpp:274-307).
+    skip_active = args.no_active_region
+    if not skip_active:
+        from lancet2_tpu.hts.bam import BamReader
+
+        if not has_md_tag(BamReader(samples[0].path)):
+            LOG.warning("no MD tags found; disabling active-region prescan")
+            skip_active = True
+
+    wb = WindowBuilder(
+        ref,
+        WindowParams(
+            window_length=args.window_size,
+            pct_overlap=args.pct_overlap,
+            region_padding=args.padding,
+        ),
+    )
+    for spec in args.region:
+        wb.add_region_spec(spec)
+    if args.bed_file:
+        wb.add_bed_file(args.bed_file)
+    if not args.region and not args.bed_file:
+        wb.add_whole_reference()
+    wb.sort_input_regions()
+    windows = wb.build_windows()
+    LOG.info("built %d windows (expected ~%d)", len(windows), wb.expected_target_windows())
+
+    graph_params = GraphParams(
+        min_kmer_len=args.min_kmer,
+        max_kmer_len=args.max_kmer,
+        kmer_step_len=args.kmer_step,
+        min_node_cov=args.min_node_cov,
+        min_anchor_cov=args.min_anchor_cov,
+        num_samples=len(samples),
+    )
+    params = BuilderParams(
+        graph=graph_params,
+        collector=CollectorParams(
+            max_sample_cov=args.max_sample_cov, extract_pairs=args.extract_pairs
+        ),
+        skip_active_region=skip_active,
+        gc_fraction=args.genome_gc_bias,
+        aligner_backend=args.aligner_backend,
+    )
+
+    probe_factory = None
+    probe_writer = None
+    if args.probe_variants:
+        from lancet2_tpu.utils.probe import ProbeIndex, ProbeResultsWriter, ProbeTracker
+
+        probe_index = ProbeIndex.from_file(args.probe_variants, graph_params, ref)
+        probe_writer = ProbeResultsWriter(args.probe_results or args.probe_variants + ".probe.tsv")
+        probe_factory = lambda wid: ProbeTracker(probe_index, probe_writer)
+
+    case_ctrl = any(s.tag == 4 for s in samples) and any(s.tag == 2 for s in samples)
+    header = build_vcf_header(ref, [s.sample_name for s in samples], command_line, case_ctrl)
+
+    executor = PipelineExecutor(
+        params, ref, samples, windows,
+        num_workers=args.num_threads,
+        probe_tracker_factory=probe_factory,
+    )
+
+    out = BgzfWriter(args.out_vcfgz)
+    try:
+        out.write(header.encode())
+
+        class _TextShim:
+            def write(self, text: str):
+                out.write(text.encode())
+
+        stats = executor.execute(_TextShim())
+    finally:
+        out.close()
+        if probe_writer is not None:
+            probe_writer.close()
+
+    runtime = time.monotonic() - t0
+    peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    LOG.info("done in %.2fs | peak RSS %.1f MB | windows=%s", runtime, peak_rss_mb,
+             stats.get("status_counts"))
+    stats["total_runtime_s"] = runtime
+    stats["peak_rss_mb"] = peak_rss_mb
+    return stats
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    command_line = "lancet2-tpu " + " ".join(argv)
+    if args.command == "pipeline":
+        run_pipeline(args, command_line)
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,203 @@
+"""Pipeline executor: window scheduling, worker pool, ordered VCF flush.
+
+Reference: src/lancet/core/pipeline_executor.{h,cpp}, async_worker.{h,cpp}.
+Windows stream through a work queue to N worker threads (each owning a full
+VariantBuilder — no shared mutable state during processing); results update
+a done-bitmap and the contiguous-done cursor (minus a 100-window lag) drives
+genomically ordered flushing from the sharded store. Any worker exception is
+fail-fast with maximal window context (crash-slot model).
+
+The per-worker crash context mirrors the reference's async-signal-safe crash
+slots: each worker records the window it is processing so a crash report can
+say exactly what every thread was doing.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import traceback
+from dataclasses import dataclass, field
+
+from lancet2_tpu.core.variant_builder import BuilderParams, StatusCode, VariantBuilder
+from lancet2_tpu.core.variant_store import FLUSH_LAG_WINDOWS, VariantStore
+from lancet2_tpu.utils.logging import get_logger
+
+LOG = get_logger("pipeline")
+
+
+@dataclass
+class WindowResult:
+    window_index: int
+    status: StatusCode
+    num_calls: int
+    runtime_s: float
+
+
+class CrashSlots:
+    """Per-worker 'currently processing' context (reference: base/crash_handler)."""
+
+    def __init__(self, num_workers: int):
+        self.slots: list[str | None] = [None] * num_workers
+
+    def set(self, worker_id: int, context: str | None) -> None:
+        self.slots[worker_id] = context
+
+    def report(self) -> str:
+        lines = []
+        for wid, ctx in enumerate(self.slots):
+            lines.append(f"  worker {wid}: {ctx or '<idle>'}")
+        return "\n".join(lines)
+
+
+class PipelineExecutor:
+    def __init__(
+        self,
+        params: BuilderParams,
+        ref,
+        samples,
+        windows,
+        num_workers: int = 2,
+        probe_tracker_factory=None,
+    ):
+        self.params = params
+        self.ref = ref
+        self.samples = samples
+        self.windows = windows
+        self.num_workers = max(1, num_workers)
+        self.store = VariantStore(windows)
+        self.status_counts: dict[StatusCode, int] = {}
+        self.crash_slots = CrashSlots(self.num_workers)
+        self.probe_tracker_factory = probe_tracker_factory
+        self._failure: list = []
+
+    # ------------------------------------------------------------------
+    def execute(self, out) -> dict:
+        """Run all windows; write ordered VCF records to `out`."""
+        n = len(self.windows)
+        if n == 0:
+            return {"windows": 0, "flushed": 0}
+
+        in_q: queue.Queue = queue.Queue()
+        out_q: queue.Queue = queue.Queue()
+        for w in self.windows:
+            in_q.put(w)
+        stop = threading.Event()
+
+        def worker(worker_id: int) -> None:
+            # Each worker owns its builder (readers, graph, scorers). Any
+            # construction failure must still unblock the main loop.
+            import copy
+
+            try:
+                samples = [copy.copy(s) for s in self.samples]
+                probe = (
+                    self.probe_tracker_factory(worker_id)
+                    if self.probe_tracker_factory
+                    else None
+                )
+                builder = VariantBuilder(self.params, self.ref, samples, probe_tracker=probe)
+            except Exception as exc:
+                LOG.error("worker %d failed during construction: %s", worker_id, exc)
+                self._failure.append((None, exc, traceback.format_exc()))
+                stop.set()
+                out_q.put(None)
+                return
+            while not stop.is_set():
+                try:
+                    window = in_q.get_nowait()
+                except queue.Empty:
+                    return
+                self.crash_slots.set(worker_id, window.to_samtools())
+                t0 = time.monotonic()
+                try:
+                    calls = builder.process_window(window)
+                except Exception as exc:  # fail fast with window context
+                    LOG.error(
+                        "worker %d failed on window %s: %s\ncrash context:\n%s",
+                        worker_id, window.to_samtools(), exc, self.crash_slots.report(),
+                    )
+                    self._failure.append((window, exc, traceback.format_exc()))
+                    stop.set()
+                    out_q.put(None)
+                    return
+                if calls:
+                    self.store.add_variants(calls)
+                out_q.put(
+                    WindowResult(
+                        window.genome_index,
+                        builder.current_code,
+                        len(calls),
+                        time.monotonic() - t0,
+                    )
+                )
+                self.crash_slots.set(worker_id, None)
+
+        threads = [
+            threading.Thread(target=worker, args=(wid,), daemon=True)
+            for wid in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        done = [False] * n
+        contiguous_done = -1
+        num_done = 0
+        flushed = 0
+        t_start = time.monotonic()
+        last_log = t_start
+        while num_done < n:
+            try:
+                result = out_q.get(timeout=10.0)
+            except queue.Empty:
+                # liveness check: if every worker thread died without posting
+                # a failure sentinel, don't wait forever
+                if not any(t.is_alive() for t in threads):
+                    LOG.error(
+                        "all workers exited with %d/%d windows done; crash context:\n%s",
+                        num_done, n, self.crash_slots.report(),
+                    )
+                    break
+                continue
+            if result is None:  # worker failure
+                break
+            num_done += 1
+            done[result.window_index] = True
+            self.status_counts[result.status] = self.status_counts.get(result.status, 0) + 1
+            while contiguous_done + 1 < n and done[contiguous_done + 1]:
+                contiguous_done += 1
+            # ordered flush with lag buffer (overlapping windows may still
+            # add variants just behind the cursor)
+            target = contiguous_done - FLUSH_LAG_WINDOWS
+            if target >= 0:
+                flushed += self.store.flush_before_window(target, out)
+            now = time.monotonic()
+            if now - last_log > 10.0:
+                rate = num_done / (now - t_start)
+                eta = (n - num_done) / rate if rate > 0 else float("inf")
+                LOG.info(
+                    "progress %.1f%% (%d/%d windows), %.1f win/s, ETA %.0fs",
+                    100.0 * num_done / n, num_done, n, rate, eta,
+                )
+                last_log = now
+
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        if self._failure:
+            window, exc, tb = self._failure[0]
+            where = window.to_samtools() if window is not None else "<construction>"
+            raise RuntimeError(f"worker failed on window {where}: {exc}\n{tb}")
+        flushed += self.store.flush_all(out)
+        runtime = time.monotonic() - t_start
+        LOG.info(
+            "processed %d windows in %.2fs (%.2f win/s), flushed %d records",
+            num_done, runtime, num_done / runtime if runtime > 0 else 0.0, flushed,
+        )
+        return {
+            "windows": num_done,
+            "flushed": flushed,
+            "runtime_s": runtime,
+            "status_counts": {k.name: v for k, v in self.status_counts.items()},
+        }

@@ -1,0 +1,117 @@
+"""Deterministic per-window read collection with coverage-capped downsampling.
+
+Reference: src/lancet/core/read_collector.{h,cpp}. Three passes per sample:
+  1. profile passing reads (QC-fail/dup/unmapped/MAPQ<20 filtered), convert
+     the base budget (max_sample_cov * window_len) into a read budget via the
+     observed mean read length, shuffle qname hashes with a FIXED seed and
+     keep the first N — both mates of a pair are symmetrically kept/dropped
+  2. deep-copy kept reads
+  3. (optional) recapture out-of-region mates of kept discordant/SA reads in
+     ascending genomic order
+
+Final reads are sorted with the deterministic 6-key comparator so identical
+inputs always produce identical assemblies.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lancet2_tpu.cbdg.read import Read, sort_key
+from lancet2_tpu.core.sample_info import SampleInfo
+from lancet2_tpu.hts.bam import BamReader
+from lancet2_tpu.hts.fasta import Region
+
+DEFAULT_MAX_WINDOW_COVERAGE = 1000.0
+
+
+@dataclass
+class CollectorParams:
+    max_sample_cov: float = DEFAULT_MAX_WINDOW_COVERAGE
+    extract_pairs: bool = False
+
+
+def _passes_profile_filters(rec) -> bool:
+    return not (rec.is_qcfail or rec.is_duplicate or rec.is_unmapped or rec.mapq < 20)
+
+
+class ReadCollector:
+    def __init__(self, params: CollectorParams, samples: list[SampleInfo]):
+        self.params = params
+        self.samples = samples
+        self.readers: dict[str, BamReader] = {
+            s.path: BamReader(s.path) for s in samples
+        }
+
+    @property
+    def is_case_ctrl_mode(self) -> bool:
+        from lancet2_tpu.cbdg.read import LABEL_CASE, LABEL_CTRL
+
+        tags = {s.tag for s in self.samples}
+        return LABEL_CASE in tags and LABEL_CTRL in tags
+
+    def collect(self, chrom: str, start1: int, end1: int) -> list[Read]:
+        window_len = end1 - start1 + 1
+        max_sample_bases = self.params.max_sample_cov * window_len
+        out: list[Read] = []
+        for sinfo in self.samples:
+            reader = self.readers[sinfo.path]
+            records = [r for r in reader.fetch(chrom, start1, end1) if _passes_profile_filters(r)]
+
+            # Pass 1: profile + deterministic downsample
+            from lancet2_tpu.base.hashing import hash_str64
+
+            num_pass = len(records)
+            num_bases = sum(r.length for r in records)
+            qhashes = np.array([hash_str64(r.qname) for r in records], dtype=np.uint64)
+            bases_per_read = num_bases / max(num_pass, 1)
+            max_reads = int(np.ceil(max_sample_bases / max(bases_per_read, 1e-9)))
+            sampled_count = min(num_pass, max_reads)
+
+            if sampled_count < num_pass:
+                # fixed-seed shuffle of the per-read qname-hash list; the keep
+                # set is the first `sampled_count` entries — both mates of a
+                # pair are symmetrically kept or dropped (hash-level decision)
+                order = np.random.default_rng(0).permutation(num_pass)
+                keep = set(int(q) for q in qhashes[order][:sampled_count])
+                records = [r for r, qh in zip(records, qhashes) if int(qh) in keep]
+            sinfo.num_sampled_reads = sampled_count
+
+            # Pass 2: deep copy kept reads
+            sampled_bases = 0
+            for rec in records:
+                read = Read.from_bam(rec, sinfo.sample_name, sinfo.tag, sinfo.sample_index)
+                sampled_bases += read.length
+                out.append(read)
+
+            # Pass 3: mate recapture (discordant or SA-tagged pairs)
+            if self.params.extract_pairs:
+                in_region = {r.qname for r in records}
+                want: dict[str, tuple[int, int]] = {}
+                for rec in records:
+                    if not rec.is_mate_mapped:
+                        continue
+                    if rec.is_proper_pair and "SA" not in rec.tags:
+                        continue
+                    mate_key = (rec.next_ref_id, rec.next_pos0)
+                    if not (start1 - 1 <= rec.next_pos0 < end1 and rec.next_ref_id == rec.ref_id):
+                        want[rec.qname] = mate_key
+                # ascending genomic order for sequential access
+                for qname, (rid, pos0) in sorted(want.items(), key=lambda kv: kv[1]):
+                    if rid < 0:
+                        continue
+                    mate_chrom = reader.ref_name(rid)
+                    for rec in reader.fetch(mate_chrom, pos0 + 1, pos0 + 1):
+                        if rec.qname != qname or rec.pos0 != pos0:
+                            continue
+                        read = Read.from_bam(rec, sinfo.sample_name, sinfo.tag, sinfo.sample_index)
+                        sampled_bases += read.length
+                        out.append(read)
+                        break
+
+            sinfo.num_sampled_bases = sampled_bases
+
+        out.sort(key=sort_key)
+        return out

@@ -23,7 +23,9 @@ import numpy as np
 
 from lancet2_tpu.ops.affine_dp import AlignParams, NEG_INF
 
-_NEG = jnp.int32(int(NEG_INF))
+# numpy scalar: creating a jnp value at import time would initialize the
+# JAX backend before callers can select a platform (axon plugin quirk)
+_NEG = np.int32(NEG_INF)
 
 
 def _subs(qi, targets, p: AlignParams):

@@ -1,0 +1,60 @@
+"""Batched on-device genotyping math (jax twin of caller.likelihood).
+
+Dirichlet-Multinomial PLs for a whole batch of variants at once: counts
+[B, K] -> PLs [B, G] with G = K(K+1)/2, plus GQ and best-genotype indices.
+Pure vectorized special-function math — trivially on-device (reference
+spends 0.2% CPU here; on TPU it fuses into the window step).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lancet2_tpu.caller.likelihood import (
+    DM_ALPHA_FLOOR,
+    DM_BACKGROUND_ERROR,
+    DM_OVERDISPERSION,
+)
+
+
+def genotype_alpha_matrix(num_alleles: int) -> np.ndarray:
+    """[G, K] Dirichlet alphas in VCF genotype order (static per K)."""
+    precision = (1.0 - DM_OVERDISPERSION) / DM_OVERDISPERSION
+    rows = []
+    for b in range(num_alleles):
+        for a in range(b + 1):
+            mu = np.full(num_alleles, DM_BACKGROUND_ERROR / num_alleles)
+            main = 1.0 - DM_BACKGROUND_ERROR
+            if a == b:
+                mu[a] += main
+            else:
+                mu[a] += main / 2.0
+                mu[b] += main / 2.0
+            rows.append(np.maximum(DM_ALPHA_FLOOR, mu * precision))
+    return np.stack(rows)
+
+
+@partial(jax.jit, static_argnames=("num_alleles",))
+def batched_genotype_pls(counts: jnp.ndarray, num_alleles: int):
+    """counts [B, K] float/int -> (pls [B, G] int32, gq [B] int32, best [B]).
+
+    ln P(c|a) = lnG(sum a) - lnG(N + sum a) + sum[lnG(c_i+a_i) - lnG(a_i)]
+    """
+    alphas = jnp.asarray(genotype_alpha_matrix(num_alleles))  # [G, K]
+    c = counts.astype(jnp.float32)[:, None, :]  # [B, 1, K]
+    a = alphas[None, :, :]  # [1, G, K]
+    lg = jax.scipy.special.gammaln
+    ll = jnp.sum(lg(c + a) - lg(a), axis=-1)
+    ll = ll + lg(jnp.sum(a, axis=-1)) - lg(jnp.sum(c + a, axis=-1))  # [B, G]
+    best_ll = jnp.max(ll, axis=-1, keepdims=True)
+    raw = -10.0 * (ll - best_ll) / jnp.log(10.0)
+    pls = jnp.round(raw).astype(jnp.int32)
+    best = jnp.argmin(pls, axis=-1).astype(jnp.int32)
+    # GQ = second smallest PL (min is 0 after normalization), capped at 99
+    top2 = -jax.lax.top_k(-pls, 2)[0]
+    gq = jnp.minimum(top2[:, 1] - top2[:, 0], 99).astype(jnp.int32)
+    return pls, gq, best

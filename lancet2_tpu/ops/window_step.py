@@ -1,0 +1,120 @@
+"""Batched device window step — the flagship compute of the framework.
+
+One jitted dispatch processes a fixed-shape batch of windows end-to-end on
+device (SURVEY.md §7 architecture sketch, steps 6-7):
+
+  inputs  reads [W, R, L]   uint8 base codes (5 = pad), read lens [W, R]
+          haps  [W, H, LH]  assembled haplotype codes,   hap lens [W, H]
+          var_start/var_len/hap_allele describing one variant region per
+          haplotype (allele index per hap; 0 = REF hap)
+          read_sample [W, R] sample index per read
+
+  compute 1. glocal affine DP scores of every (read, hap) pair — the
+             reference's 36% minimap2 budget as one batched kernel
+          2. allele assignment = argmax over haplotype scores
+          3. per-(window, sample, allele) depth counts via one-hot matmul
+          4. Dirichlet-Multinomial PLs + GQ per (window, sample)
+
+This is the compile surface used by __graft_entry__ (single-chip check) and
+dryrun_multichip (W axis sharded over the device mesh; counts stay local —
+windows are embarrassingly parallel, collectives only aggregate run stats).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lancet2_tpu.ops.affine_dp import READ_TO_HAP, AlignParams
+from lancet2_tpu.ops.affine_dp_jax import _make_align
+from lancet2_tpu.ops.genotype_tpu import batched_genotype_pls
+
+
+def make_window_step(num_samples: int, num_alleles: int, params: AlignParams = READ_TO_HAP):
+    """Build the jittable window-batch step function."""
+    align = _make_align(params, with_dirs=False)
+
+    def step(reads, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele):
+        W, R, L = reads.shape
+        H, LH = haps.shape[1], haps.shape[2]
+
+        # flatten all (window, read, hap) pairs into one DP batch
+        q = jnp.broadcast_to(reads[:, :, None, :], (W, R, H, L)).reshape(-1, L)
+        ql = jnp.broadcast_to(read_lens[:, :, None], (W, R, H)).reshape(-1)
+        t = jnp.broadcast_to(haps[:, None, :, :], (W, R, H, LH)).reshape(-1, LH)
+        tl = jnp.broadcast_to(hap_lens[:, None, :], (W, R, H)).reshape(-1)
+
+        scores, _t_end = align(q, ql.astype(jnp.int32), t, tl.astype(jnp.int32))
+        scores = scores.reshape(W, R, H)
+
+        # allele assignment: best haplotype per read (mask invalid reads)
+        best_hap = jnp.argmax(scores, axis=-1)  # [W, R]
+        best_score = jnp.max(scores, axis=-1)
+        assigned_allele = jnp.take_along_axis(
+            hap_allele, best_hap, axis=1
+        )  # [W, R] via hap_allele [W, H]
+
+        # minimum-score gate stands in for mapability filtering
+        ok = read_valid & (best_score >= (ql.reshape(W, R, H)[:, :, 0] // 4))
+
+        # per-(window, sample, allele) depth counts: one-hot contraction
+        sample_oh = jax.nn.one_hot(read_sample, num_samples, dtype=jnp.float32)
+        allele_oh = jax.nn.one_hot(assigned_allele, num_alleles, dtype=jnp.float32)
+        allele_oh = allele_oh * ok[:, :, None].astype(jnp.float32)
+        counts = jnp.einsum("wrs,wra->wsa", sample_oh, allele_oh)  # [W, S, A]
+
+        pls, gq, best_gt = batched_genotype_pls(
+            counts.reshape(-1, num_alleles), num_alleles
+        )
+        G = num_alleles * (num_alleles + 1) // 2
+        return {
+            "scores": scores,
+            "allele_counts": counts,
+            "pls": pls.reshape(W, num_samples, G),
+            "gq": gq.reshape(W, num_samples),
+            "best_gt": best_gt.reshape(W, num_samples),
+        }
+
+    return step
+
+
+def synth_window_batch(
+    rng: np.random.Generator,
+    num_windows: int = 8,
+    reads_per_window: int = 64,
+    read_len: int = 128,
+    num_haps: int = 4,
+    hap_len: int = 512,
+    num_samples: int = 2,
+):
+    """Synthetic fixed-shape window batch for benches and compile checks."""
+    W, R, L, H, LH = num_windows, reads_per_window, read_len, num_haps, hap_len
+    haps = rng.integers(0, 4, (W, H, LH)).astype(np.uint8)
+    # ALT haps = ref hap with one SNV
+    haps[:, 1:, :] = haps[:, :1, :]
+    for h in range(1, H):
+        pos = LH // 2 + h
+        haps[:, h, pos] = (haps[:, h, pos] + 1) % 4
+    reads = np.zeros((W, R, L), dtype=np.uint8)
+    read_sample = rng.integers(0, num_samples, (W, R)).astype(np.int32)
+    src_hap = rng.integers(0, 2, (W, R)).astype(np.int32)  # REF or first ALT
+    for w in range(W):
+        for r in range(R):
+            start = int(rng.integers(0, LH - L))
+            reads[w, r] = haps[w, src_hap[w, r], start : start + L]
+    read_lens = np.full((W, R), L, dtype=np.int32)
+    hap_lens = np.full((W, H), LH, dtype=np.int32)
+    hap_allele = np.minimum(np.arange(H), 1)[None, :].repeat(W, axis=0).astype(np.int32)
+    read_valid = np.ones((W, R), dtype=bool)
+    return dict(
+        reads=jnp.asarray(reads),
+        read_lens=jnp.asarray(read_lens),
+        read_sample=jnp.asarray(read_sample),
+        read_valid=jnp.asarray(read_valid),
+        haps=jnp.asarray(haps),
+        hap_lens=jnp.asarray(hap_lens),
+        hap_allele=jnp.asarray(hap_allele),
+    )
