@@ -201,29 +201,37 @@ class _ComponentInfo:
 class Graph:
     """Per-window colored bidirected de Bruijn graph (one per worker)."""
 
-    def __init__(self, params: GraphParams, probe_tracker=None):
+    def __init__(self, params: GraphParams, probe_tracker=None, shard_writer=None):
         self.params = params
         self.nodes: dict[int, Node] = {}
         self.ref_node_ids: list[int] = []
         self.source_sink = (0, 0)
         self.curr_k = 0
         self.probe_tracker = probe_tracker
+        # graph-snapshot observability (reference: --out-graphs-tgz): DOT
+        # renders buffer per k-attempt and commit only on success
+        self.shard_writer = shard_writer
+        from lancet2_tpu.cbdg.dot import DotSnapshotBuffer
+
+        self.dot_buffer = DotSnapshotBuffer()
 
     # ------------------------------------------------------------------
     # Entry point: k-retry cascade (reference: Graph::BuildComponentResults)
     # ------------------------------------------------------------------
     def build_component_results(
-        self, ref_codes: np.ndarray, reads: list[Read]
+        self, ref_codes: np.ndarray, reads: list[Read], window_name: str = ""
     ) -> list[ComponentResult]:
         params = self.params
         results: list[ComponentResult] = []
         k = params.min_kmer_len - params.kmer_step_len
         probe = self.probe_tracker
+        self.dot_buffer.set_window_subdir(window_name or "window")
 
         while not results and (k + params.kmer_step_len) <= params.max_kmer_len:
             k += params.kmer_step_len
             self.curr_k = k
             self.source_sink = (0, 0)
+            self.dot_buffer.discard()
 
             # de Bruijn graph over a repeat-bearing reference would contain a
             # cycle by construction — skip this k outright.
@@ -274,15 +282,30 @@ class Graph:
                 haps = self._build_haplotypes(comp_id, trav, ref_anchor_codes, probe)
                 if probe is not None:
                     probe.check_paths(haps, comp_id, k)
+                self._buffer_final_snapshot(comp_id, haps, k)
                 if not haps:
                     continue
                 results.append(ComponentResult(haps, gcplx, source.ref_offset))
 
             if retry_k:
                 results.clear()
+                self.dot_buffer.discard()
                 continue
 
+        if self.shard_writer is not None:
+            self.dot_buffer.commit(self.shard_writer)
         return results
+
+    def _buffer_final_snapshot(self, comp_id: int, haps, k: int) -> None:
+        if self.shard_writer is None:
+            return
+        from lancet2_tpu.cbdg.dot import render_component_dot
+
+        stage = "enumerated_walks" if haps else "fully_pruned"
+        fname = f"dbg__{self.dot_buffer.window_subdir}__{stage}__k{k}__comp{comp_id}.dot"
+        walks = [h.walk for h in haps if h.walk]
+        contents = render_component_dot(self, comp_id, fname[:-4], walks=walks)
+        self.dot_buffer.buffer(fname, contents)
 
     # ------------------------------------------------------------------
     # Phase 1: vectorized construction

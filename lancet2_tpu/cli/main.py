@@ -74,8 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--probe-variants", default=None,
                     help="truth VCF/TSV of variants to trace through the pipeline")
     pl.add_argument("--probe-results", default=None, help="probe forensics TSV output")
-    pl.add_argument("--out-graphs-dir", default=None,
-                    help="directory for per-window graph snapshots (DOT/JSON)")
+    pl.add_argument("--out-graphs-tgz", default=None,
+                    help="merged tar.gz of per-window graph snapshots (DOT)")
     return parser
 
 
@@ -128,6 +128,11 @@ def run_pipeline(args, command_line: str) -> dict:
         min_anchor_cov=args.min_anchor_cov,
         num_samples=len(samples),
     )
+    shards_dir = None
+    if args.out_graphs_tgz:
+        import tempfile
+
+        shards_dir = tempfile.mkdtemp(prefix="lancet2_graph_shards_")
     params = BuilderParams(
         graph=graph_params,
         collector=CollectorParams(
@@ -136,6 +141,7 @@ def run_pipeline(args, command_line: str) -> dict:
         skip_active_region=skip_active,
         gc_fraction=args.genome_gc_bias,
         aligner_backend=args.aligner_backend,
+        graphs_shards_dir=shards_dir,
     )
 
     probe_factory = None
@@ -169,6 +175,12 @@ def run_pipeline(args, command_line: str) -> dict:
         out.close()
         if probe_writer is not None:
             probe_writer.close()
+
+    if args.out_graphs_tgz and executor.shard_paths:
+        from lancet2_tpu.utils.targz import merge_shards
+
+        n_entries = merge_shards(executor.shard_paths, args.out_graphs_tgz)
+        LOG.info("merged %d graph snapshots into %s", n_entries, args.out_graphs_tgz)
 
     runtime = time.monotonic() - t0
     peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0

@@ -70,6 +70,7 @@ class PipelineExecutor:
         self.status_counts: dict[StatusCode, int] = {}
         self.crash_slots = CrashSlots(self.num_workers)
         self.probe_tracker_factory = probe_tracker_factory
+        self.shard_paths: list[str] = []
         self._failure: list = []
 
     # ------------------------------------------------------------------
@@ -90,6 +91,7 @@ class PipelineExecutor:
             # construction failure must still unblock the main loop.
             import copy
 
+            shard_writer = None
             try:
                 samples = [copy.copy(s) for s in self.samples]
                 probe = (
@@ -97,42 +99,57 @@ class PipelineExecutor:
                     if self.probe_tracker_factory
                     else None
                 )
-                builder = VariantBuilder(self.params, self.ref, samples, probe_tracker=probe)
+                if self.params.graphs_shards_dir:
+                    import os
+
+                    from lancet2_tpu.utils.targz import TarGzWriter
+
+                    shard_path = os.path.join(
+                        self.params.graphs_shards_dir, f"worker_{worker_id}.tar.gz"
+                    )
+                    shard_writer = TarGzWriter(shard_path)
+                    self.shard_paths.append(shard_path)
+                builder = VariantBuilder(self.params, self.ref, samples,
+                                         probe_tracker=probe, shard_writer=shard_writer)
             except Exception as exc:
                 LOG.error("worker %d failed during construction: %s", worker_id, exc)
                 self._failure.append((None, exc, traceback.format_exc()))
                 stop.set()
                 out_q.put(None)
                 return
-            while not stop.is_set():
-                try:
-                    window = in_q.get_nowait()
-                except queue.Empty:
-                    return
-                self.crash_slots.set(worker_id, window.to_samtools())
-                t0 = time.monotonic()
-                try:
-                    calls = builder.process_window(window)
-                except Exception as exc:  # fail fast with window context
-                    LOG.error(
-                        "worker %d failed on window %s: %s\ncrash context:\n%s",
-                        worker_id, window.to_samtools(), exc, self.crash_slots.report(),
+            try:
+                while not stop.is_set():
+                    try:
+                        window = in_q.get_nowait()
+                    except queue.Empty:
+                        return
+                    self.crash_slots.set(worker_id, window.to_samtools())
+                    t0 = time.monotonic()
+                    try:
+                        calls = builder.process_window(window)
+                    except Exception as exc:  # fail fast with window context
+                        LOG.error(
+                            "worker %d failed on window %s: %s\ncrash context:\n%s",
+                            worker_id, window.to_samtools(), exc, self.crash_slots.report(),
+                        )
+                        self._failure.append((window, exc, traceback.format_exc()))
+                        stop.set()
+                        out_q.put(None)
+                        return
+                    if calls:
+                        self.store.add_variants(calls)
+                    out_q.put(
+                        WindowResult(
+                            window.genome_index,
+                            builder.current_code,
+                            len(calls),
+                            time.monotonic() - t0,
+                        )
                     )
-                    self._failure.append((window, exc, traceback.format_exc()))
-                    stop.set()
-                    out_q.put(None)
-                    return
-                if calls:
-                    self.store.add_variants(calls)
-                out_q.put(
-                    WindowResult(
-                        window.genome_index,
-                        builder.current_code,
-                        len(calls),
-                        time.monotonic() - t0,
-                    )
-                )
-                self.crash_slots.set(worker_id, None)
+                    self.crash_slots.set(worker_id, None)
+            finally:
+                if shard_writer is not None:
+                    shard_writer.close()
 
         threads = [
             threading.Thread(target=worker, args=(wid,), daemon=True)

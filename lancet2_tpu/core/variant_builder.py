@@ -45,15 +45,17 @@ class BuilderParams:
     skip_active_region: bool = False
     gc_fraction: float = 0.41
     aligner_backend: str = "numpy"
+    graphs_shards_dir: str | None = None  # per-worker graph snapshot shards
 
 
 class VariantBuilder:
     def __init__(self, params: BuilderParams, ref: Reference, samples: list[SampleInfo],
-                 probe_tracker=None):
+                 probe_tracker=None, shard_writer=None):
         self.params = params
         self.ref = ref
         self.samples = samples
-        self.graph = Graph(params.graph, probe_tracker=probe_tracker)
+        self.graph = Graph(params.graph, probe_tracker=probe_tracker,
+                           shard_writer=shard_writer)
         self.collector = ReadCollector(params.collector, samples)
         self.genotyper = Genotyper(backend=params.aligner_backend)
         self.seq_cx_scorer = SequenceComplexityScorer(params.gc_fraction)
@@ -101,7 +103,8 @@ class VariantBuilder:
             return []
 
         ref_codes = encode(window.seq(self.ref))
-        components = self.graph.build_component_results(ref_codes, reads)
+        window_name = f"{window.chrom}_{window.start1}_{window.end1}"
+        components = self.graph.build_component_results(ref_codes, reads, window_name)
         if sum(c.num_alt_haplotypes for c in components) == 0:
             self.current_code = StatusCode.SKIPPED_NOASM_HAPLOTYPE
             return []

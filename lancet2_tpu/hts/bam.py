@@ -169,11 +169,22 @@ def _encode_aux(tags: dict[str, object]) -> bytes:
 
 
 class BamReader:
-    """Decode a BAM file into memory with per-contig region query support."""
+    """Decode a BAM file into memory with per-contig region query support.
 
-    def __init__(self, path: str):
+    Uses the native libdeflate-backed decoder (native/bam_decoder.cpp via
+    lancet2_tpu.hts.native) when available: parallel BGZF inflation +
+    columnar record parse with lazy BamRecord materialization. Falls back
+    to the pure-Python path (the correctness baseline) otherwise.
+    """
+
+    def __init__(self, path: str, use_native: bool = True):
         self.path = path
-        data = bgzf.decompress_file(path)
+        from lancet2_tpu.hts import native
+
+        raw = open(path, "rb").read()
+        data = native.bgzf_inflate(raw) if use_native else None
+        if data is None:
+            data = bgzf.decompress_file(path)
         if data[:4] != BAM_MAGIC:
             raise ValueError(f"{path} is not a BAM file")
         l_text = struct.unpack_from("<i", data, 4)[0]
@@ -189,8 +200,56 @@ class BamReader:
             self.references.append((name, l_ref))
             off += 8 + l_name
         self._ref_index = {name: i for i, (name, _) in enumerate(self.references)}
-        self._records_raw = self._parse_records(data, off)
-        self._by_contig: dict[int, tuple[np.ndarray, np.ndarray, list[BamRecord]]] | None = None
+
+        self._cols = native.parse_records(data, off) if use_native else None
+        if self._cols is not None:
+            self._rec_cache: dict[int, BamRecord] = {}
+            self._records_raw = None
+            self._ref_ends = self._compute_ref_ends()
+        else:
+            self._records_raw = self._parse_records(data, off)
+        self._by_contig = None
+
+    # ---- native columnar backend -------------------------------------
+    def _compute_ref_ends(self) -> np.ndarray:
+        """Vectorized reference_end0 for all records from the cigar pool."""
+        cols = self._cols
+        n = cols["count"]
+        pool = cols["cigar_pool"]
+        ops = pool & 0xF
+        lens = pool >> 4
+        # ref-consuming ops: M(0) D(2) N(3) =(7) X(8)
+        consumes = np.isin(ops, (0, 2, 3, 7, 8))
+        ref_lens = np.where(consumes, lens, 0).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(ref_lens)])
+        starts = cols["cigar_off"]
+        ends = starts + cols["n_cigar"]
+        spans = csum[ends] - csum[starts]
+        return cols["pos"].astype(np.int64) + spans
+
+    def _record_at(self, i: int) -> BamRecord:
+        rec = self._rec_cache.get(i)
+        if rec is not None:
+            return rec
+        cols = self._cols
+        qo, ql = int(cols["qname_off"][i]), int(cols["qname_len"][i])
+        qname = cols["qname_pool"][qo : qo + ql].tobytes().decode("ascii")
+        co, nc = int(cols["cigar_off"][i]), int(cols["n_cigar"][i])
+        cigar = [
+            (int(x & 0xF), int(x >> 4)) for x in cols["cigar_pool"][co : co + nc]
+        ]
+        so, ls = int(cols["seq_off"][i]), int(cols["l_seq"][i])
+        seq = cols["seq_pool"][so : so + ls].tobytes().decode("ascii")
+        qual = cols["qual_pool"][so : so + ls].copy()
+        ao, al = int(cols["aux_off"][i]), int(cols["aux_len"][i])
+        tags = _parse_aux(cols["aux_pool"][ao : ao + al].tobytes())
+        rec = BamRecord(
+            qname, int(cols["flag"][i]), int(cols["ref_id"][i]), int(cols["pos"][i]),
+            int(cols["mapq"][i]), cigar, int(cols["next_ref_id"][i]),
+            int(cols["next_pos"][i]), int(cols["tlen"][i]), seq, qual, tags,
+        )
+        self._rec_cache[i] = rec
+        return rec
 
     def _parse_records(self, data: bytes, off: int) -> list[BamRecord]:
         records = []
@@ -227,22 +286,38 @@ class BamReader:
         return self._ref_index.get(name, -1)
 
     def all_records(self) -> list[BamRecord]:
+        if self._cols is not None:
+            return [self._record_at(i) for i in range(self._cols["count"])]
         return self._records_raw
 
     def _build_index(self) -> None:
+        # per contig: (starts sorted, running max end, record handles)
+        self._by_contig = {}
+        if self._cols is not None:
+            cols = self._cols
+            ref_ids = cols["ref_id"]
+            pos = cols["pos"].astype(np.int64)
+            ends = self._ref_ends
+            for rid in np.unique(ref_ids):
+                if rid < 0:
+                    continue
+                idxs = np.nonzero(ref_ids == rid)[0]
+                order = idxs[np.argsort(pos[idxs], kind="stable")]
+                starts = pos[order]
+                run_max_end = np.maximum.accumulate(ends[order])
+                self._by_contig[int(rid)] = (starts, run_max_end, ends[order], order)
+            return
         by: dict[int, list[BamRecord]] = {}
         for rec in self._records_raw:
             if rec.ref_id < 0:
                 continue
             by.setdefault(rec.ref_id, []).append(rec)
-        self._by_contig = {}
         for rid, recs in by.items():
             recs.sort(key=lambda r: r.pos0)
             starts = np.array([r.pos0 for r in recs], dtype=np.int64)
             ends = np.array([r.reference_end0() for r in recs], dtype=np.int64)
-            # running max of ends enables binary-search lower bound on overlap
             run_max_end = np.maximum.accumulate(ends)
-            self._by_contig[rid] = (starts, run_max_end, recs)
+            self._by_contig[rid] = (starts, run_max_end, ends, recs)
 
     def fetch(self, chrom: str, start1: int, end1: int) -> list[BamRecord]:
         """All records overlapping [start1, end1] (1-based inclusive)."""
@@ -252,7 +327,7 @@ class BamReader:
         entry = self._by_contig.get(rid)
         if entry is None:
             return []
-        starts, run_max_end, recs = entry
+        starts, run_max_end, ends, handles = entry
         lo0, hi0 = start1 - 1, end1  # half-open
         # records with start < hi0 and end > lo0
         hi_idx = int(np.searchsorted(starts, hi0, side="left"))
@@ -261,9 +336,11 @@ class BamReader:
         for i in range(hi_idx - 1, -1, -1):
             if run_max_end[i] <= lo0:
                 break
-            rec = recs[i]
-            if rec.reference_end0() > lo0:
-                out.append(rec)
+            if ends[i] > lo0:
+                if self._cols is not None:
+                    out.append(self._record_at(int(handles[i])))
+                else:
+                    out.append(handles[i])
         out.reverse()
         return out
 
