@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     # execution
     pl.add_argument("-T", "--num-threads", type=int, default=2)
+    pl.add_argument("--host-index", type=int, default=0,
+                    help="this host's index for multi-host window sharding")
+    pl.add_argument("--num-hosts", type=int, default=1,
+                    help="total hosts; the window manifest is block-sharded "
+                         "and each host writes its own VCF shard (merge with "
+                         "lancet2_tpu.parallel.manifest.merge_vcf_shards)")
     pl.add_argument("--aligner-backend", choices=["numpy", "jax"], default="numpy")
 
     # graph params
@@ -76,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--probe-results", default=None, help="probe forensics TSV output")
     pl.add_argument("--out-graphs-tgz", default=None,
                     help="merged tar.gz of per-window graph snapshots (DOT)")
+    pl.add_argument("--checkpoint", action="store_true",
+                    help="write a window-cursor checkpoint next to the VCF and "
+                         "resume from it when present")
     return parser
 
 
@@ -120,6 +129,40 @@ def run_pipeline(args, command_line: str) -> dict:
     windows = wb.build_windows()
     LOG.info("built %d windows (expected ~%d)", len(windows), wb.expected_target_windows())
 
+    if args.num_hosts > 1:
+        from lancet2_tpu.parallel.manifest import windows_for_host
+
+        windows = windows_for_host(windows, args.host_index, args.num_hosts)
+        for i, w in enumerate(windows):
+            w.genome_index = i
+        LOG.info("host %d/%d processes %d windows", args.host_index, args.num_hosts, len(windows))
+
+    # checkpoint / resume (window cursor over the ordered-flush prefix)
+    import os as _os
+
+    from lancet2_tpu.core.checkpoint import (
+        CheckpointFile,
+        recover_prefix_records,
+        split_windows_for_resume,
+    )
+
+    ckpt = CheckpointFile(args.out_vcfgz + ".ckpt") if args.checkpoint else None
+    prefix_records: list[str] = []
+    min_emit_pos = None
+    if ckpt is not None:
+        cursor = ckpt.load()
+        if cursor and _os.path.exists(args.out_vcfgz):
+            remaining, cpos = split_windows_for_resume(windows, cursor)
+            prefix_records = recover_prefix_records(args.out_vcfgz, cpos)
+            LOG.info(
+                "resuming at cursor %s: %d/%d windows remain, %d records recovered",
+                cpos, len(remaining), len(windows), len(prefix_records),
+            )
+            windows = remaining
+            for i, w in enumerate(windows):
+                w.genome_index = i
+            min_emit_pos = cpos
+
     graph_params = GraphParams(
         min_kmer_len=args.min_kmer,
         max_kmer_len=args.max_kmer,
@@ -160,11 +203,15 @@ def run_pipeline(args, command_line: str) -> dict:
         params, ref, samples, windows,
         num_workers=args.num_threads,
         probe_tracker_factory=probe_factory,
+        checkpoint=ckpt,
+        min_emit_pos=min_emit_pos,
     )
 
     out = BgzfWriter(args.out_vcfgz)
     try:
         out.write(header.encode())
+        for rec in prefix_records:
+            out.write(rec.encode())
 
         class _TextShim:
             def write(self, text: str):
@@ -181,6 +228,9 @@ def run_pipeline(args, command_line: str) -> dict:
 
         n_entries = merge_shards(executor.shard_paths, args.out_graphs_tgz)
         LOG.info("merged %d graph snapshots into %s", n_entries, args.out_graphs_tgz)
+
+    if ckpt is not None:
+        ckpt.clear()  # run completed; the VCF is whole
 
     runtime = time.monotonic() - t0
     peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0

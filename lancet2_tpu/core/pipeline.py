@@ -60,13 +60,16 @@ class PipelineExecutor:
         windows,
         num_workers: int = 2,
         probe_tracker_factory=None,
+        checkpoint=None,
+        min_emit_pos=None,
     ):
         self.params = params
         self.ref = ref
         self.samples = samples
         self.windows = windows
         self.num_workers = max(1, num_workers)
-        self.store = VariantStore(windows)
+        self.store = VariantStore(windows, min_emit_pos=min_emit_pos)
+        self.checkpoint = checkpoint
         self.status_counts: dict[StatusCode, int] = {}
         self.crash_slots = CrashSlots(self.num_workers)
         self.probe_tracker_factory = probe_tracker_factory
@@ -189,6 +192,9 @@ class PipelineExecutor:
             target = contiguous_done - FLUSH_LAG_WINDOWS
             if target >= 0:
                 flushed += self.store.flush_before_window(target, out)
+                if self.checkpoint is not None:
+                    w = self.windows[target]
+                    self.checkpoint.save(w.chrom_index, w.start1, num_done)
             now = time.monotonic()
             if now - last_log > 10.0:
                 rate = num_done / (now - t_start)

@@ -18,8 +18,11 @@ FLUSH_LAG_WINDOWS = 100
 
 
 class VariantStore:
-    def __init__(self, windows):
+    def __init__(self, windows, min_emit_pos=None):
         self.windows = windows
+        # resume support: records strictly before this (chrom_index, pos1)
+        # were already emitted by a previous run's flushed prefix
+        self.min_emit_pos = min_emit_pos
         self._shards: list[dict] = [dict() for _ in range(NUM_SHARDS)]
         self._locks = [threading.Lock() for _ in range(NUM_SHARDS)]
 
@@ -49,8 +52,13 @@ class VariantStore:
                 ]
                 for k in keys:
                     call = shard.pop(k)
-                    if call.has_alt_support:
-                        out.append(call)
+                    if not call.has_alt_support:
+                        continue
+                    if self.min_emit_pos is not None and (
+                        call.chrom_index, call.pos1
+                    ) < self.min_emit_pos:
+                        continue
+                    out.append(call)
         return out
 
     def flush_before_window(self, window_index: int, out) -> int:
