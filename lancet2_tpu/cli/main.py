@@ -92,6 +92,25 @@ def run_pipeline(args, command_line: str) -> dict:
     configure(args.verbose)
     t0 = time.monotonic()
 
+    if args.aligner_backend == "jax":
+        # The host pipeline's jitted aligner runs on host CPU XLA: per-window
+        # dispatches through the TPU tunnel would pay ~20ms RTT each. (The
+        # device-resident batch path is ops.window_step / bench.py.)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+        # persistent compile cache: the bucketed aligner shapes recur across
+        # runs, so steady-state runs skip XLA compilation entirely
+        import os as _os
+
+        cache_dir = _os.path.expanduser("~/.cache/lancet2_tpu/xla")
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     if not args.normal and not args.tumor and not args.sample:
         raise SystemExit("at least one of --normal/--tumor/--sample is required")
 
