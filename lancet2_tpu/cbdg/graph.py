@@ -356,12 +356,56 @@ class Graph:
         canonical, occ_signs = canonicalize_batch(all_kmers)
         ids = kmer_ids(canonical)
 
-        # --- node table: first-occurrence wins for codes/sign/label -------
-        uniq_ids, first_idx = np.unique(ids, return_index=True)
-        # materialize in first-occurrence order for deterministic iteration
-        order = np.argsort(first_idx, kind="stable")
+        uniq_ids, first_idx, inverse = np.unique(ids, return_index=True, return_inverse=True)
         labels = np.array([seq_meta[si][0] for si in range(len(seqs))], dtype=np.int64)
+
+        # --- ref path node ids (in ref kmer order) ------------------------
+        if seq_meta and seq_meta[0][0] == LABEL_REFERENCE:
+            ref_m = len(seqs[0]) - k + 1
+            self.ref_node_ids = [int(i) for i in ids[:ref_m]]
+
+        # --- read support: expected-error filter + mate-mer dedup --------
+        # (fully vectorized; per-(node, sample) counts via bincount)
+        n_uniq = uniq_ids.size
+        count_matrix = np.zeros((n_uniq, num_samples), dtype=np.int64)
+        role_matrix = np.zeros((n_uniq, 2), dtype=np.int64)
+        read_occ = np.nonzero(ee_ok)[0]
+        if read_occ.size:
+            qhashes = np.array([seq_meta[si][3] for si in range(len(seqs))], dtype=np.uint64)
+            tags = np.array([seq_meta[si][2] for si in range(len(seqs))], dtype=np.uint8)
+            sample_idxs = np.array([seq_meta[si][1] for si in range(len(seqs))], dtype=np.int64)
+            occ_q = qhashes[seq_idx[read_occ]]
+            occ_tag = tags[seq_idx[read_occ]]
+            occ_uidx = inverse[read_occ]
+            occ_sample = sample_idxs[seq_idx[read_occ]]
+            # MateMer dedup: one support increment per (qname, kmer, tag)
+            # (reference: graph.cpp:290-307) — both mates of a pair count once.
+            key = np.empty(read_occ.size, dtype=[("q", "u8"), ("i", "u8"), ("t", "u1")])
+            key["q"] = occ_q
+            key["i"] = ids[read_occ]
+            key["t"] = occ_tag
+            _, keep = np.unique(key, return_index=True)
+            flat = occ_uidx[keep] * num_samples + occ_sample[keep]
+            count_matrix = np.bincount(flat, minlength=n_uniq * num_samples).reshape(
+                n_uniq, num_samples
+            )
+            role_flat = occ_uidx[keep] * 2 + (occ_tag[keep] == LABEL_CASE).astype(np.int64)
+            role_matrix = np.bincount(role_flat, minlength=n_uniq * 2).reshape(n_uniq, 2)
+
+        # --- vectorized pre-prune (equivalent to RemoveLowCovNodes(0)) ----
+        # At this point source/sink are unset, so the low-cov pass removes
+        # every all-singleton or below-threshold node; filtering before
+        # materializing Python node objects skips the error-kmer bulk.
+        totals = count_matrix.sum(axis=1)
+        all_singleton = (count_matrix > 0).any(axis=1) & (count_matrix <= 1).all(axis=1)
+        survives = (~all_singleton) & (totals >= self.params.min_node_cov)
+        self.all_built_ids = set(int(i) for i in uniq_ids)  # probe 'build' stage
+
+        # materialize survivors in first-occurrence order (deterministic)
+        order = np.argsort(first_idx, kind="stable")
         for ui in order:
+            if not survives[ui]:
+                continue
             nid = int(uniq_ids[ui])
             fi = int(first_idx[ui])
             node = Node(
@@ -371,39 +415,11 @@ class Graph:
                 int(labels[seq_idx[fi]]),
                 num_samples,
             )
+            node.counts = count_matrix[ui].copy()
+            node.role_counts = [int(role_matrix[ui, 0]), int(role_matrix[ui, 1])]
             self.nodes[nid] = node
 
-        # --- ref path node ids (in ref kmer order) ------------------------
-        if seq_meta and seq_meta[0][0] == LABEL_REFERENCE:
-            ref_m = len(seqs[0]) - k + 1
-            self.ref_node_ids = [int(i) for i in ids[:ref_m]]
-
-        # --- read support: expected-error filter + mate-mer dedup --------
-        read_occ = np.nonzero(ee_ok)[0]
-        if read_occ.size:
-            qhashes = np.array([seq_meta[si][3] for si in range(len(seqs))], dtype=np.uint64)
-            tags = np.array([seq_meta[si][2] for si in range(len(seqs))], dtype=np.uint8)
-            sample_idxs = np.array([seq_meta[si][1] for si in range(len(seqs))], dtype=np.int64)
-            occ_q = qhashes[seq_idx[read_occ]]
-            occ_tag = tags[seq_idx[read_occ]]
-            occ_id = ids[read_occ]
-            occ_sample = sample_idxs[seq_idx[read_occ]]
-            # MateMer dedup: one support increment per (qname, kmer, tag)
-            # (reference: graph.cpp:290-307) — both mates of a pair count once.
-            key = np.empty(read_occ.size, dtype=[("q", "u8"), ("i", "u8"), ("t", "u1")])
-            key["q"] = occ_q
-            key["i"] = occ_id
-            key["t"] = occ_tag
-            _, keep = np.unique(key, return_index=True)
-            kept_ids = occ_id[keep]
-            kept_samples = occ_sample[keep]
-            kept_tags = occ_tag[keep]
-            for nid, sidx, tag in zip(kept_ids, kept_samples, kept_tags):
-                node = self.nodes[int(nid)]
-                node.counts[int(sidx)] += 1
-                node.role_counts[1 if tag == LABEL_CASE else 0] += 1
-
-        # --- edges: unique ordered consecutive pairs ----------------------
+        # --- edges: unique ordered consecutive pairs among survivors ------
         pair_src_list = []
         pair_dst_list = []
         off = 0
@@ -421,8 +437,10 @@ class Graph:
             pk["d"] = pair_dst
             uniq_pairs = np.unique(pk)
             for s_id, d_id in zip(uniq_pairs["s"], uniq_pairs["d"]):
-                s_node = self.nodes[int(s_id)]
-                d_node = self.nodes[int(d_id)]
+                s_node = self.nodes.get(int(s_id))
+                d_node = self.nodes.get(int(d_id))
+                if s_node is None or d_node is None:
+                    continue  # endpoint pre-pruned
                 # Edge kind derives from the *stored* node signs — the sign each
                 # node was first created with (reference: graph.cpp:333-336).
                 kind = make_kind(s_node.sign, d_node.sign)

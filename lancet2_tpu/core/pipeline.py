@@ -75,6 +75,9 @@ class PipelineExecutor:
         self.probe_tracker_factory = probe_tracker_factory
         self.shard_paths: list[str] = []
         self._failure: list = []
+        from lancet2_tpu.utils.profiling import StageTimer
+
+        self.stage_timer = StageTimer()
 
     # ------------------------------------------------------------------
     def execute(self, out) -> dict:
@@ -151,6 +154,7 @@ class PipelineExecutor:
                     )
                     self.crash_slots.set(worker_id, None)
             finally:
+                self.stage_timer.merge(builder.timer)
                 if shard_writer is not None:
                     shard_writer.close()
 
@@ -218,9 +222,15 @@ class PipelineExecutor:
             "processed %d windows in %.2fs (%.2f win/s), flushed %d records",
             num_done, runtime, num_done / runtime if runtime > 0 else 0.0, flushed,
         )
+        stage_report = self.stage_timer.report()
+        if stage_report:
+            LOG.info("stage profile: %s",
+                     ", ".join(f"{k}={v['pct']}%" for k, v in stage_report.items()))
         return {
             "windows": num_done,
             "flushed": flushed,
             "runtime_s": runtime,
+            "windows_per_s": num_done / runtime if runtime > 0 else 0.0,
             "status_counts": {k.name: v for k, v in self.status_counts.items()},
+            "stage_profile": stage_report,
         }

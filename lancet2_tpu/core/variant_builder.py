@@ -25,6 +25,7 @@ from lancet2_tpu.core.read_collector import CollectorParams, ReadCollector
 from lancet2_tpu.core.sample_info import SampleInfo, cross_sample_mean_coverage
 from lancet2_tpu.core.window_builder import Window
 from lancet2_tpu.hts.fasta import Reference
+from lancet2_tpu.utils.profiling import StageTimer
 
 
 class StatusCode(enum.Enum):
@@ -61,6 +62,7 @@ class VariantBuilder:
         self.seq_cx_scorer = SequenceComplexityScorer(params.gc_fraction)
         self.current_code = StatusCode.UNKNOWN
         self.probe_tracker = probe_tracker
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     def should_skip_window(self, window: Window) -> bool:
@@ -93,10 +95,12 @@ class VariantBuilder:
         self.current_code = StatusCode.UNKNOWN
         if self.probe_tracker is not None:
             self.probe_tracker.begin_window(window.to_samtools())
-        if self.should_skip_window(window):
-            return []
+        with self.timer.stage("gate"):
+            if self.should_skip_window(window):
+                return []
 
-        reads = self.collector.collect(window.chrom, window.start1, window.end1)
+        with self.timer.stage("collect"):
+            reads = self.collector.collect(window.chrom, window.start1, window.end1)
         cross_cov = cross_sample_mean_coverage(self.samples, window.length)
         if cross_cov < self.params.graph.min_anchor_cov:
             self.current_code = StatusCode.SKIPPED_ANCHOR_COVERAGE
@@ -104,7 +108,8 @@ class VariantBuilder:
 
         ref_codes = encode(window.seq(self.ref))
         window_name = f"{window.chrom}_{window.start1}_{window.end1}"
-        components = self.graph.build_component_results(ref_codes, reads, window_name)
+        with self.timer.stage("assemble"):
+            components = self.graph.build_component_results(ref_codes, reads, window_name)
         if sum(c.num_alt_haplotypes for c in components) == 0:
             self.current_code = StatusCode.SKIPPED_NOASM_HAPLOTYPE
             return []
@@ -123,16 +128,19 @@ class VariantBuilder:
         for comp in components:
             hap_seqs = comp.haplotype_sequences()
             anchor_pos1 = window.start1 + comp.anchor_start_offset
-            variants = extract_component_variants(
-                hap_seqs, window.chrom_index, window.chrom, anchor_pos1
-            )
+            with self.timer.stage("extract"):
+                variants = extract_component_variants(
+                    hap_seqs, window.chrom_index, window.chrom, anchor_pos1
+                )
             if not variants:
                 continue
-            self._annotate(variants, hap_seqs, comp)
+            with self.timer.stage("annotate"):
+                self._annotate(variants, hap_seqs, comp)
             if self.probe_tracker is not None:
                 self.probe_tracker.check_msa_extraction(variants, window)
 
-            geno = self.genotyper.genotype(hap_seqs, reads, variants)
+            with self.timer.stage("genotype"):
+                geno = self.genotyper.genotype(hap_seqs, reads, variants)
             if self.probe_tracker is not None:
                 self.probe_tracker.check_genotyper_result(geno, variants)
             for vi, variant in enumerate(variants):

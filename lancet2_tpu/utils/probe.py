@@ -154,12 +154,14 @@ class ProbeTracker:
         self._k = k
         self._tagged = {}
         self._flags = {}
+        # 'build' reflects the pre-prune graph (the construction pass now
+        # pre-prunes vectorized; all_built_ids preserves the raw kmer set)
+        built_ids = getattr(graph, "all_built_ids", None) or set(graph.nodes.keys())
         node_ids = set(graph.nodes.keys())
         for pv in self.index.variants:
             probe_ids = pv.alt_kmers_by_k.get(k, set())
-            present = probe_ids & node_ids
-            self._tagged[pv.key] = set(present)
-            self._flags[pv.key] = {"build": bool(present)}
+            self._tagged[pv.key] = probe_ids & node_ids
+            self._flags[pv.key] = {"build": bool(probe_ids & built_ids)}
 
     def log_stage(self, stage: str, graph, k: int) -> None:
         for key, nodes in self._tagged.items():
