@@ -66,9 +66,147 @@ def _pad(seqs: list[np.ndarray], width: int | None = None):
 
 
 class Genotyper:
+    """backend: 'numpy' (baseline), 'jax' (jitted CPU XLA, CIGAR traceback),
+    or 'evidence' (traceback-free on-path-accumulator DP — the device
+    formulation; see ops/evidence_dp.py)."""
+
     def __init__(self, backend: str = "numpy", min_score_frac: float = 0.25):
         self.backend = backend
         self.min_score_frac = min_score_frac
+
+    # ------------------------------------------------------------------
+    # evidence-DP backend: no CIGARs anywhere
+    # ------------------------------------------------------------------
+    def _genotype_evidence(self, hap_codes, hap_seqs, reads, variants,
+                           quals_list):
+        from lancet2_tpu.ops.evidence_dp import R_MAX, evidence_dp
+
+        n_haps = len(hap_codes)
+        # per-hap region chunks: (chunk_regions [R_MAX, 2], chunk_vis [R_MAX])
+        hap_chunks: list[list[tuple[np.ndarray, list[int]]]] = []
+        for h in range(n_haps):
+            carried = []
+            for vi, variant in enumerate(variants):
+                bounds = self._extract_hap_bounds(variant, h)
+                if bounds is not None:
+                    carried.append((vi, bounds[0], bounds[1], bounds[2]))
+            chunks = []
+            for off in range(0, max(len(carried), 1), R_MAX):
+                group = carried[off : off + R_MAX]
+                regions = np.zeros((R_MAX, 2), np.int32)
+                vis = []
+                for r, (vi, vs, vlen, allele) in enumerate(group):
+                    regions[r] = (vs, vs + vlen)
+                    vis.append((vi, allele))
+                chunks.append((regions, vis))
+            hap_chunks.append(chunks)
+
+        # build the pair list: (read, hap, chunk)
+        pair_q, pair_qu, pair_t, pair_meta = [], [], [], []
+        for r, read in enumerate(reads):
+            for h in range(n_haps):
+                for ci, (regions, vis) in enumerate(hap_chunks[h]):
+                    pair_q.append(read.codes)
+                    pair_qu.append(read.qual)
+                    pair_t.append(hap_codes[h])
+                    pair_meta.append((r, h, regions, vis))
+
+        outs = {}
+        for lo in range(0, len(pair_q), _PAIR_CHUNK):
+            hi = min(lo + _PAIR_CHUNK, len(pair_q))
+            n_pairs = hi - lo
+            bq = _bucket(max(len(s) for s in pair_q[lo:hi]), (160, 320, 640, 1280))
+            bt = _bucket(max(len(s) for s in pair_t[lo:hi]))
+            bb = _bucket(n_pairs, (64, 128, 256, 512))
+            qs, qlens = _pad(pair_q[lo:hi] + [pair_q[lo]] * (bb - n_pairs), bq)
+            qus, _ = _pad(pair_qu[lo:hi] + [pair_qu[lo]] * (bb - n_pairs), bq)
+            ts, tlens = _pad(pair_t[lo:hi] + [pair_t[lo]] * (bb - n_pairs), bt)
+            regions = np.zeros((bb, R_MAX, 2), np.int32)
+            for b in range(n_pairs):
+                regions[b] = pair_meta[lo + b][2]
+            out = evidence_dp(qs, qus, qlens, ts, tlens, regions)
+            for key, arr in out.items():
+                outs.setdefault(key, []).append(arr[:n_pairs])
+        outs = {k: np.concatenate(v) for k, v in outs.items()}
+
+        # per-read assembly (mirrors the CIGAR-walk backend's logic)
+        result: dict[int, dict[str, VariantSupport]] = {}
+        idx_of: dict[tuple[int, int, int], int] = {}
+        for idx, (r, h, _reg, _vis) in enumerate(pair_meta):
+            idx_of.setdefault((r, h), idx)  # first chunk holds the aln stats
+
+        pair_index = 0
+        per_read_pairs: dict[int, list[int]] = {}
+        for idx, (r, h, _reg, _vis) in enumerate(pair_meta):
+            per_read_pairs.setdefault(r, []).append(idx)
+
+        for r, read in enumerate(reads):
+            min_score = int(self.min_score_frac * read.length)
+            read_pairs = per_read_pairs.get(r, [])
+            # ref-hap NM baseline
+            ref_idx = idx_of.get((r, REF_HAP_IDX))
+            if ref_idx is not None and outs["score"][ref_idx] >= min_score and                     outs["t_end"][ref_idx] > outs["t_start"][ref_idx]:
+                baseline_ref_nm = int(outs["nm"][ref_idx])
+            else:
+                baseline_ref_nm = read.length
+
+            assignments: dict[int, ReadAlleleAssignment] = {}
+            for idx in read_pairs:
+                _r, h, regions, vis = pair_meta[idx]
+                score = int(outs["score"][idx])
+                t_start = int(outs["t_start"][idx])
+                t_end = int(outs["t_end"][idx])
+                if score < min_score or t_end <= t_start:
+                    continue
+                for slot, (vi, allele_idx) in enumerate(vis):
+                    vs, ve = int(regions[slot, 0]), int(regions[slot, 1])
+                    if not (ve > t_start and vs < t_end):
+                        continue
+                    aligned = int(outs["aligned"][idx, slot])
+                    matches = float(outs["matches"][idx, slot])
+                    identity = matches / aligned if aligned > 0 else 0.0
+                    raw = float(outs["raw"][idx, slot])
+                    pbq = float(outs["pbq"][idx, slot])
+                    min_bq = int(outs["min_bq"][idx, slot])
+                    qv = max(0, int(outs["qv"][idx, slot]))
+                    scored = ReadAlleleAssignment()
+                    scored.allele = allele_idx
+                    scored.global_score = int(float(score) - raw)
+                    scored.local_score = pbq
+                    scored.local_identity = identity
+                    scored.base_qual_at_var = 0 if min_bq == 255 else min_bq
+                    scored.assigned_haplotype_id = h
+                    scored.own_hap_nm = int(outs["nm"][idx])
+                    scored.ref_nm = baseline_ref_nm
+                    rel = qv / read.length if read.length > 0 else 0.5
+                    scored.folded_read_pos = min(rel, 1.0 - rel)
+                    prev = assignments.get(vi)
+                    if prev is None or scored.combined_score > prev.combined_score:
+                        assignments[vi] = scored
+
+            strand = STRAND_REV if read.is_reverse else STRAND_FWD
+            for vi, scored in assignments.items():
+                supports = result.setdefault(vi, {})
+                support = supports.setdefault(read.sample_name, VariantSupport())
+                support.add_evidence(
+                    ReadEvidence(
+                        insert_size=read.insert_size,
+                        alignment_start=read.start0,
+                        aln_score=scored.combined_score,
+                        folded_read_pos=scored.folded_read_pos,
+                        rname_hash=read.qname_hash & 0xFFFFFFFF,
+                        ref_nm=scored.ref_nm,
+                        own_hap_nm=scored.own_hap_nm,
+                        assigned_haplotype_id=scored.assigned_haplotype_id,
+                        allele=scored.allele,
+                        strand=strand,
+                        base_qual=scored.base_qual_at_var,
+                        map_qual=read.mapq,
+                        is_soft_clipped=read.is_soft_clipped,
+                        is_proper_pair=read.is_proper_pair,
+                    )
+                )
+        return result
 
     def _align_scores(self, pair_q, pair_t):
         """Score-only pass over all pairs (no direction matrices)."""
@@ -185,6 +323,10 @@ class Genotyper:
         if not variants or not reads:
             return {}
         hap_codes = [encode(h) for h in hap_seqs]
+        if self.backend == "evidence":
+            return self._genotype_evidence(
+                hap_codes, hap_seqs, reads, variants, [r.qual for r in reads]
+            )
         alns = self._align_all(hap_codes, reads, variants)
 
         result: dict[int, dict[str, VariantSupport]] = {}

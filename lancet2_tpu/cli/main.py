@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="total hosts; the window manifest is block-sharded "
                          "and each host writes its own VCF shard (merge with "
                          "lancet2_tpu.parallel.manifest.merge_vcf_shards)")
-    pl.add_argument("--aligner-backend", choices=["numpy", "jax"], default="numpy")
+    pl.add_argument("--aligner-backend", choices=["numpy", "jax", "evidence"], default="numpy")
 
     # graph params
     pl.add_argument("-k", "--min-kmer", type=int, default=13)
@@ -92,7 +92,7 @@ def run_pipeline(args, command_line: str) -> dict:
     configure(args.verbose)
     t0 = time.monotonic()
 
-    if args.aligner_backend == "jax":
+    if args.aligner_backend in ("jax", "evidence"):
         # The host pipeline's jitted aligner runs on host CPU XLA: per-window
         # dispatches through the TPU tunnel would pay ~20ms RTT each. (The
         # device-resident batch path is ops.window_step / bench.py.)
