@@ -59,6 +59,43 @@ def bench_sw_kernel():
     return B * Lq * Lt / per_align / 1e9, per_align
 
 
+def bench_evidence_dp():
+    """Amortized evidence-DP rate: the full genotype-stage kernel (scores +
+    NM + per-region evidence stats; replaces traceback + host CIGAR walks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lancet2_tpu.ops.affine_dp import READ_TO_HAP
+    from lancet2_tpu.ops.evidence_dp import _make_engine
+
+    engine = _make_engine(READ_TO_HAP)
+    B, Lq, Lt, K = 512, 152, 1024, 8
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.integers(0, 4, (B, Lq)), jnp.uint8)
+    qu = jnp.asarray(rng.integers(20, 40, (B, Lq)), jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, Lt)), jnp.uint8)
+    ql = jnp.full((B,), Lq, jnp.int32)
+    tl = jnp.full((B,), Lt, jnp.int32)
+    regions = jnp.asarray(
+        np.tile(np.array([[100, 101], [300, 310], [0, 0], [0, 0]], np.int32), (B, 1, 1))
+    )
+
+    def chained(qq):
+        def body(carry, _):
+            out = engine(carry, qu, ql, t, tl, regions)
+            nxt = (carry + (out["score"][:, None] & 1).astype(jnp.uint8)) % 4
+            return nxt, out["score"][0]
+        _, ss = jax.lax.scan(body, qq, None, length=K)
+        return ss
+
+    fn = jax.jit(chained)
+    np.asarray(fn(q))
+    t0 = time.perf_counter()
+    np.asarray(fn(q))
+    per = (time.perf_counter() - t0) / K
+    return B * Lq * Lt / per / 1e9, per
+
+
 def bench_window_step():
     """Amortized device window-step throughput on a representative shape."""
     import jax
@@ -101,6 +138,7 @@ def main():
 
     device = jax.devices()[0]
     sw_gcups, sw_dt = bench_sw_kernel()
+    ev_gcups, ev_dt = bench_evidence_dp()
     win_per_s, step_gcups, step_dt = bench_window_step()
 
     baseline_64t_windows_per_s = 154.0  # 2.4 win/s/core x 64 (BASELINE.md)
@@ -113,6 +151,8 @@ def main():
             "device": str(device),
             "sw_kernel_gcups": round(sw_gcups, 2),
             "sw_kernel_ms_per_batch": round(sw_dt * 1e3, 2),
+            "evidence_dp_gcups": round(ev_gcups, 2),
+            "evidence_dp_ms_per_batch": round(ev_dt * 1e3, 2),
             "window_step_gcups": round(step_gcups, 2),
             "window_step_ms": round(step_dt * 1e3, 2),
             "window_step_shape": "W16xR128xH4 (128bp reads, 512bp haps)",
@@ -120,6 +160,12 @@ def main():
         },
     }
     print(json.dumps(result))
+    try:
+        from lancet2_tpu.utils.profiling import append_history
+
+        append_history({"kind": "bench", **result})
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -75,11 +75,13 @@ class Genotyper:
         self.min_score_frac = min_score_frac
 
     # ------------------------------------------------------------------
-    # evidence-DP backend: no CIGARs anywhere
+    # evidence-DP backend: no CIGARs anywhere. Split into three phases so
+    # the cross-window batch executor can fuse phase-2 device dispatches:
+    #   build_evidence_pairs -> run_evidence_pairs -> assemble_evidence
     # ------------------------------------------------------------------
-    def _genotype_evidence(self, hap_codes, hap_seqs, reads, variants,
-                           quals_list):
-        from lancet2_tpu.ops.evidence_dp import R_MAX, evidence_dp
+    def build_evidence_pairs(self, hap_codes, reads, variants):
+        """Phase 1: enumerate (read, hap, region-chunk) pairs for one window."""
+        from lancet2_tpu.ops.evidence_dp import R_MAX
 
         n_haps = len(hap_codes)
         # per-hap region chunks: (chunk_regions [R_MAX, 2], chunk_vis [R_MAX])
@@ -110,6 +112,11 @@ class Genotyper:
                     pair_qu.append(read.qual)
                     pair_t.append(hap_codes[h])
                     pair_meta.append((r, h, regions, vis))
+        return pair_q, pair_qu, pair_t, pair_meta
+
+    def run_evidence_pairs(self, pair_q, pair_qu, pair_t, pair_meta):
+        """Phase 2: chunked/bucketed evidence-DP over the pair list."""
+        from lancet2_tpu.ops.evidence_dp import R_MAX, evidence_dp
 
         outs = {}
         for lo in range(0, len(pair_q), _PAIR_CHUNK):
@@ -127,8 +134,10 @@ class Genotyper:
             out = evidence_dp(qs, qus, qlens, ts, tlens, regions)
             for key, arr in out.items():
                 outs.setdefault(key, []).append(arr[:n_pairs])
-        outs = {k: np.concatenate(v) for k, v in outs.items()}
+        return {k: np.concatenate(v) for k, v in outs.items()}
 
+    def assemble_evidence(self, reads, variants, pair_meta, outs):
+        """Phase 3: per-read allele assignment + VariantSupport assembly."""
         # per-read assembly (mirrors the CIGAR-walk backend's logic)
         result: dict[int, dict[str, VariantSupport]] = {}
         idx_of: dict[tuple[int, int, int], int] = {}
@@ -207,6 +216,13 @@ class Genotyper:
                     )
                 )
         return result
+
+    def _genotype_evidence(self, hap_codes, hap_seqs, reads, variants, quals_list):
+        pair_q, pair_qu, pair_t, pair_meta = self.build_evidence_pairs(
+            hap_codes, reads, variants
+        )
+        outs = self.run_evidence_pairs(pair_q, pair_qu, pair_t, pair_meta)
+        return self.assemble_evidence(reads, variants, pair_meta, outs)
 
     def _align_scores(self, pair_q, pair_t):
         """Score-only pass over all pairs (no direction matrices)."""

@@ -184,6 +184,9 @@ class GraphParams:
     min_node_cov: int = DEFAULT_MIN_NODE_COV
     min_anchor_cov: int = DEFAULT_MIN_ANCHOR_COV
     num_samples: int = 0
+    # 'final' = one DOT per component per window; 'verbose' additionally
+    # snapshots every pruning boundary (reference GraphSnapshotMode)
+    snapshot_mode: str = "final"
 
 
 class _RefAnchor(NamedTuple):
@@ -530,15 +533,30 @@ class Graph:
         self._compress_graph(comp_id)
         if probe is not None:
             probe.log_stage("compress1", self, k)
+        self._buffer_stage_snapshot("compression1", comp_id, k)
         self._remove_low_cov_nodes(comp_id)
         if probe is not None:
             probe.log_stage("lowcov2", self, k)
+        self._buffer_stage_snapshot("low_cov_removal2", comp_id, k)
         self._compress_graph(comp_id)
         if probe is not None:
             probe.log_stage("compress2", self, k)
+        self._buffer_stage_snapshot("compression2", comp_id, k)
         self._remove_tips(comp_id)
         if probe is not None:
             probe.log_stage("tips", self, k)
+        self._buffer_stage_snapshot("short_tip_removal", comp_id, k)
+
+    def _buffer_stage_snapshot(self, stage_label: str, comp_id: int, k: int) -> None:
+        """Per-prune-stage DOT snapshot (reference: BufferStageSnapshot;
+        only under --graph-snapshots=verbose with a shard writer wired)."""
+        if self.shard_writer is None or self.params.snapshot_mode != "verbose":
+            return
+        from lancet2_tpu.cbdg.dot import render_component_dot
+
+        fname = f"dbg__{self.dot_buffer.window_subdir}__{stage_label}__k{k}__comp{comp_id}.dot"
+        contents = render_component_dot(self, comp_id, fname[:-4])
+        self.dot_buffer.buffer(fname, contents)
 
     def _compress_graph(self, comp_id: int) -> None:
         removed: set[int] = set()

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "and each host writes its own VCF shard (merge with "
                          "lancet2_tpu.parallel.manifest.merge_vcf_shards)")
     pl.add_argument("--aligner-backend", choices=["numpy", "jax", "evidence"], default="numpy")
+    pl.add_argument("--executor", choices=["threads", "batch"], default="threads",
+                    help="batch = two-phase executor with fused cross-window "
+                         "evidence-DP dispatches (implies the evidence backend)")
 
     # graph params
     pl.add_argument("-k", "--min-kmer", type=int, default=13)
@@ -82,6 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--probe-results", default=None, help="probe forensics TSV output")
     pl.add_argument("--out-graphs-tgz", default=None,
                     help="merged tar.gz of per-window graph snapshots (DOT)")
+    pl.add_argument("--graph-snapshots", choices=["final", "verbose"], default="final",
+                    help="verbose adds per-prune-stage snapshots (needs --out-graphs-tgz)")
     pl.add_argument("--checkpoint", action="store_true",
                     help="write a window-cursor checkpoint next to the VCF and "
                          "resume from it when present")
@@ -92,6 +97,16 @@ def run_pipeline(args, command_line: str) -> dict:
     configure(args.verbose)
     t0 = time.monotonic()
 
+    # native-crash forensics: on SIGSEGV/SIGABRT dump all thread stacks —
+    # together with the executor's crash slots this reproduces the
+    # reference's "what was every worker doing" contract
+    # (reference: base/crash_handler.{h,cpp})
+    import faulthandler
+
+    faulthandler.enable(all_threads=True)
+
+    if args.executor == "batch":
+        args.aligner_backend = "evidence"
     if args.aligner_backend in ("jax", "evidence"):
         # The host pipeline's jitted aligner runs on host CPU XLA: per-window
         # dispatches through the TPU tunnel would pay ~20ms RTT each. (The
@@ -189,6 +204,7 @@ def run_pipeline(args, command_line: str) -> dict:
         min_node_cov=args.min_node_cov,
         min_anchor_cov=args.min_anchor_cov,
         num_samples=len(samples),
+        snapshot_mode=args.graph_snapshots,
     )
     shards_dir = None
     if args.out_graphs_tgz:
@@ -218,13 +234,20 @@ def run_pipeline(args, command_line: str) -> dict:
     case_ctrl = any(s.tag == 4 for s in samples) and any(s.tag == 2 for s in samples)
     header = build_vcf_header(ref, [s.sample_name for s in samples], command_line, case_ctrl)
 
-    executor = PipelineExecutor(
-        params, ref, samples, windows,
-        num_workers=args.num_threads,
-        probe_tracker_factory=probe_factory,
-        checkpoint=ckpt,
-        min_emit_pos=min_emit_pos,
-    )
+    if args.executor == "batch":
+        from lancet2_tpu.core.batch_pipeline import BatchPipelineExecutor
+
+        executor = BatchPipelineExecutor(
+            params, ref, samples, windows, num_workers=args.num_threads
+        )
+    else:
+        executor = PipelineExecutor(
+            params, ref, samples, windows,
+            num_workers=args.num_threads,
+            probe_tracker_factory=probe_factory,
+            checkpoint=ckpt,
+            min_emit_pos=min_emit_pos,
+        )
 
     out = BgzfWriter(args.out_vcfgz)
     try:

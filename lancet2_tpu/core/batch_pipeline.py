@@ -1,0 +1,205 @@
+"""Batch executor: host prepare threads + fused cross-window evidence DP.
+
+The threads executor genotypes inside each worker, one window at a time —
+fine on a CPU, but device dispatch wants large fused batches. This executor
+splits the pipeline (SURVEY.md §7 architecture sketch):
+
+  phase A (worker threads) window gating, read collection, assembly,
+                           variant extraction/annotation (host-bound)
+  phase B (single stream)  ALL (read x haplotype x region-chunk) pairs of a
+                           window batch concatenated into one evidence-DP
+                           stream — few large bucketed dispatches instead of
+                           per-window small ones (ops/evidence_dp.py)
+  phase C (host)           per-window allele assignment, evidence features,
+                           VariantCall assembly, ordered store/flush
+
+Windows remain embarrassingly parallel; the fused phase B only changes the
+dispatch granularity, not the results — output is record-identical to the
+threads executor (tested).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import traceback
+
+from lancet2_tpu.caller.genotyper import Genotyper
+from lancet2_tpu.caller.variant_call import VariantCall
+from lancet2_tpu.core.variant_builder import (
+    BuilderParams,
+    PreparedWindow,
+    StatusCode,
+    VariantBuilder,
+)
+from lancet2_tpu.core.variant_store import VariantStore
+from lancet2_tpu.utils.logging import get_logger
+
+LOG = get_logger("batch_pipeline")
+
+DEFAULT_WINDOW_BATCH = 64
+
+
+class BatchPipelineExecutor:
+    def __init__(
+        self,
+        params: BuilderParams,
+        ref,
+        samples,
+        windows,
+        num_workers: int = 2,
+        window_batch: int = DEFAULT_WINDOW_BATCH,
+        pair_chunk: int = 2048,
+    ):
+        self.params = params
+        self.ref = ref
+        self.samples = samples
+        self.windows = windows
+        self.num_workers = max(1, num_workers)
+        self.window_batch = window_batch
+        self.pair_chunk = pair_chunk
+        self.store = VariantStore(windows)
+        self.status_counts: dict[StatusCode, int] = {}
+
+    def execute(self, out) -> dict:
+        import copy
+
+        n = len(self.windows)
+        if n == 0:
+            return {"windows": 0, "flushed": 0}
+        t_start = time.monotonic()
+
+        genotyper = Genotyper(backend="evidence")
+        from lancet2_tpu.caller import genotyper as genotyper_mod
+
+        flushed = 0
+        num_done = 0
+        failures: list = []
+
+        for lo in range(0, n, self.window_batch):
+            batch = self.windows[lo : lo + self.window_batch]
+
+            # ---- phase A: prepare in worker threads ----------------------
+            prepared_items: list[PreparedWindow | None] = [None] * len(batch)
+            work_q: queue.Queue = queue.Queue()
+            for bi, w in enumerate(batch):
+                work_q.put((bi, w))
+
+            def prep_worker(worker_id: int) -> None:
+                samples = [copy.copy(s) for s in self.samples]
+                builder = VariantBuilder(self.params, self.ref, samples)
+                while True:
+                    try:
+                        bi, window = work_q.get_nowait()
+                    except queue.Empty:
+                        return
+                    try:
+                        prepared = builder.prepare_window(window)
+                    except Exception as exc:
+                        failures.append((window, exc, traceback.format_exc()))
+                        return
+                    prepared_items[bi] = (prepared, builder.current_code)
+
+            threads = [
+                threading.Thread(target=prep_worker, args=(wid,), daemon=True)
+                for wid in range(self.num_workers)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if failures:
+                window, exc, tb = failures[0]
+                raise RuntimeError(
+                    f"prepare failed on window {window.to_samtools()}: {exc}\n{tb}"
+                )
+
+            # ---- phase B: fused evidence DP over the whole batch ---------
+            from lancet2_tpu.base.dna import encode
+
+            all_q, all_qu, all_t, all_meta = [], [], [], []
+            spans = []  # (bi, ci, start, stop) pair-index spans per component
+            comp_data = []  # (bi, ci, reads, variants, pair_meta_local)
+            for bi, item in enumerate(prepared_items):
+                if item is None:
+                    continue
+                prepared, _code = item
+                if not isinstance(prepared, PreparedWindow):
+                    continue
+                for ci, pc in enumerate(prepared.components):
+                    hap_codes = [encode(h) for h in pc.hap_seqs]
+                    pq, pqu, pt, pm = genotyper.build_evidence_pairs(
+                        hap_codes, prepared.reads, pc.variants
+                    )
+                    spans.append((bi, ci, len(all_q), len(all_q) + len(pq)))
+                    comp_data.append((bi, ci, prepared, pc, pm))
+                    all_q.extend(pq)
+                    all_qu.extend(pqu)
+                    all_t.extend(pt)
+                    all_meta.extend(pm)
+
+            outs = None
+            if all_q:
+                old_chunk = genotyper_mod._PAIR_CHUNK
+                genotyper_mod._PAIR_CHUNK = self.pair_chunk
+                try:
+                    outs = genotyper.run_evidence_pairs(all_q, all_qu, all_t, all_meta)
+                finally:
+                    genotyper_mod._PAIR_CHUNK = old_chunk
+
+            # ---- phase C: assemble + store -------------------------------
+            per_window_calls: dict[int, list[VariantCall]] = {}
+            for (bi, ci, prepared, pc, pm), (sbi, sci, start, stop) in zip(
+                comp_data, spans
+            ):
+                comp_outs = {k: v[start:stop] for k, v in (outs or {}).items()}
+                geno = genotyper.assemble_evidence(
+                    prepared.reads, pc.variants, pm, comp_outs
+                )
+                calls = per_window_calls.setdefault(bi, [])
+                for vi, variant in enumerate(pc.variants):
+                    supports = geno.get(vi)
+                    if not supports:
+                        continue
+                    if not any(s.total_alt_cov() > 0 for s in supports.values()):
+                        continue
+                    calls.append(
+                        VariantCall(
+                            variant, supports, prepared.sample_summaries,
+                            prepared.window.length,
+                        )
+                    )
+
+            for bi, item in enumerate(prepared_items):
+                if item is None:
+                    continue
+                prepared, code = item
+                calls = per_window_calls.get(bi, [])
+                if isinstance(prepared, PreparedWindow):
+                    code = (
+                        StatusCode.FOUND_GENOTYPED_VARIANT
+                        if calls
+                        else StatusCode.MISSING_NO_MSA_VARIANTS
+                    )
+                self.status_counts[code] = self.status_counts.get(code, 0) + 1
+                if calls:
+                    self.store.add_variants(calls)
+                num_done += 1
+
+            # windows are processed in genomic batch order: everything before
+            # the next batch's first window is final
+            if lo + self.window_batch < n:
+                flushed += self.store.flush_before_window(lo + self.window_batch, out)
+            rate = num_done / (time.monotonic() - t_start)
+            LOG.info("batch %d-%d done (%.2f win/s)", lo, lo + len(batch) - 1, rate)
+
+        flushed += self.store.flush_all(out)
+        runtime = time.monotonic() - t_start
+        return {
+            "windows": num_done,
+            "flushed": flushed,
+            "runtime_s": runtime,
+            "windows_per_s": num_done / runtime if runtime > 0 else 0.0,
+            "status_counts": {k.name: v for k, v in self.status_counts.items()},
+        }

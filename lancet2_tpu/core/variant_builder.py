@@ -49,9 +49,24 @@ class BuilderParams:
     graphs_shards_dir: str | None = None  # per-worker graph snapshot shards
 
 
+@dataclass
+class PreparedComponent:
+    hap_seqs: list
+    variants: list
+
+
+@dataclass
+class PreparedWindow:
+    window: object
+    reads: list
+    components: list  # list[PreparedComponent]
+    sample_summaries: list
+
+
 class VariantBuilder:
     def __init__(self, params: BuilderParams, ref: Reference, samples: list[SampleInfo],
                  probe_tracker=None, shard_writer=None):
+        self.shard_writer = shard_writer
         self.params = params
         self.ref = ref
         self.samples = samples
@@ -84,12 +99,21 @@ class VariantBuilder:
     # ------------------------------------------------------------------
     def process_window(self, window: Window) -> list[VariantCall]:
         try:
-            return self._process_window_impl(window)
+            prepared = self._process_window_impl(window)
         finally:
             # probe flags must flush under THIS window's label on every exit
             # path (early skips included)
             if self.probe_tracker is not None:
                 self.probe_tracker.submit_completed()
+        if not isinstance(prepared, PreparedWindow):
+            return prepared if isinstance(prepared, list) else []
+        geno_results = []
+        for pc in prepared.components:
+            with self.timer.stage("genotype"):
+                geno_results.append(
+                    self.genotyper.genotype(pc.hap_seqs, prepared.reads, pc.variants)
+                )
+        return self.finalize_window(prepared, geno_results)
 
     def _process_window_impl(self, window: Window) -> list[VariantCall]:
         self.current_code = StatusCode.UNKNOWN
@@ -124,13 +148,37 @@ class VariantBuilder:
             for s in self.samples
         ]
 
-        calls: list[VariantCall] = []
-        for comp in components:
+        prepared = PreparedWindow(window, reads, [], sample_summaries)
+        for comp_index, comp in enumerate(components):
             hap_seqs = comp.haplotype_sequences()
             anchor_pos1 = window.start1 + comp.anchor_start_offset
             with self.timer.stage("extract"):
-                variants = extract_component_variants(
-                    hap_seqs, window.chrom_index, window.chrom, anchor_pos1
+                from lancet2_tpu.caller.extractor import build_pseudo_msa
+
+                msa_rows = build_pseudo_msa(hap_seqs[0], list(hap_seqs[1:]))
+                from lancet2_tpu.caller.extractor import extract_variants
+
+                variants = extract_variants(
+                    msa_rows, window.chrom_index, window.chrom, anchor_pos1
+                )
+            if self.shard_writer is not None:
+                # per-component MSA + haplotype FASTA into the worker shard
+                # (reference: SerializeSpoaState writes GFA+FASTA per comp)
+                prefix = f"{window.chrom}_{window.start1}_{window.end1}"
+                comp_id = comp_index
+                msa_fa = "".join(
+                    f">msa_{'ref' if i == 0 else f'hap{i}'}\n{row}\n"
+                    for i, row in enumerate(msa_rows)
+                )
+                hap_fa = "".join(
+                    f">{'ref_anchor' if i == 0 else f'hap{i}'}\n{seq}\n"
+                    for i, seq in enumerate(hap_seqs)
+                )
+                self.shard_writer.add_file(
+                    f"poa_graph/{prefix}/msa__{prefix}__c{comp_id}.fasta", msa_fa.encode()
+                )
+                self.shard_writer.add_file(
+                    f"poa_graph/{prefix}/haps__{prefix}__c{comp_id}.fasta", hap_fa.encode()
                 )
             if not variants:
                 continue
@@ -139,18 +187,44 @@ class VariantBuilder:
             if self.probe_tracker is not None:
                 self.probe_tracker.check_msa_extraction(variants, window)
 
-            with self.timer.stage("genotype"):
-                geno = self.genotyper.genotype(hap_seqs, reads, variants)
+            prepared.components.append(PreparedComponent(hap_seqs, variants))
+
+        if not prepared.components:
+            self.current_code = StatusCode.MISSING_NO_MSA_VARIANTS
+            return []
+        # stash for two-phase executors; inline path genotypes immediately
+        self._last_prepared = prepared
+        return prepared
+
+    def prepare_window(self, window: Window):
+        """Phases 1-3 + extraction/annotation; genotyping deferred.
+
+        Returns a PreparedWindow (with components to genotype) or [] when the
+        window terminated early (status code records why).
+        """
+        try:
+            out = self._process_window_impl(window)
+        finally:
             if self.probe_tracker is not None:
-                self.probe_tracker.check_genotyper_result(geno, variants)
-            for vi, variant in enumerate(variants):
+                self.probe_tracker.submit_completed()
+        return out if isinstance(out, PreparedWindow) else None
+
+    def finalize_window(self, prepared: "PreparedWindow", geno_results: list) -> list[VariantCall]:
+        """Assemble VariantCalls from per-component genotyping results."""
+        calls: list[VariantCall] = []
+        for pc, geno in zip(prepared.components, geno_results):
+            if self.probe_tracker is not None:
+                self.probe_tracker.check_genotyper_result(geno, pc.variants)
+            for vi, variant in enumerate(pc.variants):
                 supports = geno.get(vi)
                 if not supports:
                     continue
                 if not any(s.total_alt_cov() > 0 for s in supports.values()):
                     continue
-                calls.append(VariantCall(variant, supports, sample_summaries, window.length))
-
+                calls.append(
+                    VariantCall(variant, supports, prepared.sample_summaries,
+                                prepared.window.length)
+                )
         if not calls:
             self.current_code = StatusCode.MISSING_NO_MSA_VARIANTS
             return []

@@ -180,7 +180,7 @@ class ReadSimulator:
                 seq[i] = ord(choices[self.rng.integers(0, 3)])
         read_seq = seq.tobytes().decode()
         qual = np.full(L, self.base_qual, dtype=np.uint8)
-        qual[errs] = np.minimum(qual[errs], 20)
+        qual[errs] = np.minimum(qual[errs], 11)  # low-qual errors: below the BQ>=20 activity gate, and the expected-error kmer filter absorbs them
 
         ref_end = ref_cursor
         ref_slice = self.ref_seq[pos0:ref_end]

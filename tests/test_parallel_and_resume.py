@@ -40,11 +40,12 @@ def _records(path):
 @pytest.fixture(scope="module")
 def fixture(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("mh")
-    fx = make_tumor_normal_fixture(str(tmp), ref_len=6000, seed=301)
+    fx = make_tumor_normal_fixture(str(tmp), ref_len=4200, normal_cov=28, tumor_cov=36, seed=301)
     ref_seq = fx["ref_seq"]
-    som = [Variant(pos0=1500, ref=ref_seq[1500], alt="C" if ref_seq[1500] != "C" else "G", vaf=0.5),
-           Variant(pos0=4500, ref=ref_seq[4500], alt="A" if ref_seq[4500] != "A" else "T", vaf=0.5)]
-    fx = make_tumor_normal_fixture(str(tmp), ref_len=6000, somatic=som, seed=301)
+    som = [Variant(pos0=1200, ref=ref_seq[1200], alt="C" if ref_seq[1200] != "C" else "G", vaf=0.5),
+           Variant(pos0=3200, ref=ref_seq[3200], alt="A" if ref_seq[3200] != "A" else "T", vaf=0.5)]
+    fx = make_tumor_normal_fixture(str(tmp), ref_len=4200, somatic=som,
+                                   normal_cov=28, tumor_cov=36, seed=301)
     return str(tmp), fx
 
 
@@ -59,8 +60,8 @@ class TestMultiHostShards:
         # window manifest midpoint (3 windows + 4 windows of chrS)
         h0 = os.path.join(tmp, "host0.vcf.gz")
         h1 = os.path.join(tmp, "host1.vcf.gz")
-        _run_cli(base + ["-o", h0, "-R", "chrS:1-2800", "-P", "0"])
-        _run_cli(base + ["-o", h1, "-R", "chrS:2801-6000", "-P", "0"])
+        _run_cli(base + ["-o", h0, "-R", "chrS:1-2400", "-P", "0"])
+        _run_cli(base + ["-o", h1, "-R", "chrS:2401-4200", "-P", "0"])
         merged = os.path.join(tmp, "merged.vcf.gz")
         n = merge_vcf_shards([h0, h1], merged, ["chrS"])
         assert n == len(_records(merged))
@@ -68,7 +69,7 @@ class TestMultiHostShards:
         single_keys = {tuple(r.split("\t")[:2]) for r in _records(single)}
         merged_keys = {tuple(r.split("\t")[:2]) for r in _records(merged)}
         # both truth variants present in the merged shards
-        for pos in ("1501", "4501"):
+        for pos in ("1201", "3201"):
             assert ("chrS", pos) in merged_keys
             assert ("chrS", pos) in single_keys
         # merged output genomically sorted, no duplicate loci
@@ -99,7 +100,7 @@ class TestCheckpointResume:
         import shutil
 
         shutil.copy(full, part)
-        ckpt = {"cursor_chrom_index": 0, "cursor_pos1": 3000, "done": 3}
+        ckpt = {"cursor_chrom_index": 0, "cursor_pos1": 2200, "done": 2}
         with open(part + ".ckpt", "w") as fh:
             json.dump(ckpt, fh)
 

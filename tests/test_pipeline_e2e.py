@@ -60,14 +60,14 @@ def somatic_run(tmp_path_factory):
     somatic = [Variant(pos0=2500, ref="", alt="", vaf=0.45)]
     # build fixture with a real ref-dependent variant
     fx = make_tumor_normal_fixture(
-        str(tmp_path), ref_len=5000, normal_cov=35, tumor_cov=55, seed=101
+        str(tmp_path), ref_len=4200, normal_cov=30, tumor_cov=42, seed=101
     )
     ref_seq = fx["ref_seq"]
     alt_base = "C" if ref_seq[2500] != "C" else "G"
     somatic = [Variant(pos0=2500, ref=ref_seq[2500], alt=alt_base, vaf=0.45)]
     fx = make_tumor_normal_fixture(
-        str(tmp_path), ref_len=5000, somatic=somatic,
-        normal_cov=35, tumor_cov=55, seed=101,
+        str(tmp_path), ref_len=4200, somatic=somatic,
+        normal_cov=30, tumor_cov=42, seed=101,
     )
     header, records = _run_pipeline(tmp_path, fx)
     return fx, header, _parse_records(records)
