@@ -133,8 +133,24 @@ def bench_window_step():
     return W / per_step, cells / per_step / 1e9, per_step
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    cache_dir = os.path.expanduser("~/.cache/lancet2_tpu/xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
+
+    _enable_compile_cache()
 
     device = jax.devices()[0]
     sw_gcups, sw_dt = bench_sw_kernel()

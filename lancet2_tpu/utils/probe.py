@@ -41,6 +41,9 @@ class ProbeVariant:
     # flanked ALT haplotype context (for the path-presence check; the bare
     # alt allele is degenerate — a 1bp SNV allele is a substring of anything)
     alt_context: str = ""
+    # reference context of the same window (for shift-equivalence matching)
+    ref_context: str = ""
+    ctx_start1: int = 0  # 1-based genomic position of ref_context[0]
 
     @property
     def key(self) -> str:
@@ -95,11 +98,11 @@ class ProbeIndex:
         for chrom, pos1, ref_a, alt_a in raw:
             pv = ProbeVariant(chrom, pos1, ref_a, alt_a)
             ctx_flank = 15
-            pv.alt_context = (
-                ref.fetch(chrom, pos1 - ctx_flank, pos1 - 1)
-                + alt_a
-                + ref.fetch(chrom, pos1 + len(ref_a), pos1 + len(ref_a) + ctx_flank - 1)
-            )
+            left = ref.fetch(chrom, pos1 - ctx_flank, pos1 - 1)
+            right = ref.fetch(chrom, pos1 + len(ref_a), pos1 + len(ref_a) + ctx_flank - 1)
+            pv.alt_context = left + alt_a + right
+            pv.ref_context = left + ref_a + right
+            pv.ctx_start1 = pos1 - len(left)
             for k in ks:
                 flank = k
                 left = ref.fetch(chrom, pos1 - flank, pos1 - 1)
@@ -190,15 +193,30 @@ class ProbeTracker:
                     break
 
     # ---- caller-side hooks (called by VariantBuilder) --------------------
+    @staticmethod
+    def _matches_probe(pv: ProbeVariant, chrom: str, pos1: int, ref_a: str, alt_a: str) -> bool:
+        """Exact or shift-equivalent match: applying the candidate edit to the
+        probe's reference context must reproduce the probe's ALT context."""
+        if chrom != pv.chrom:
+            return False
+        if pos1 == pv.pos1 and ref_a == pv.ref and alt_a == pv.alt:
+            return True
+        off = pos1 - pv.ctx_start1
+        if off < 0 or off + len(ref_a) > len(pv.ref_context):
+            return False
+        if pv.ref_context[off : off + len(ref_a)] != ref_a:
+            return False
+        applied = pv.ref_context[:off] + alt_a + pv.ref_context[off + len(ref_a):]
+        return applied == pv.alt_context
+
     def check_msa_extraction(self, variants, window) -> None:
         for pv in self.index.variants:
             flags = self._flags.setdefault(pv.key, {})
             for var in variants:
-                if (
-                    var.chrom_name == pv.chrom
-                    and var.genome_pos1 == pv.pos1
-                    and var.ref_allele == pv.ref
-                    and any(a.sequence == pv.alt for a in var.alts)
+                if any(
+                    self._matches_probe(pv, var.chrom_name, var.genome_pos1,
+                                        var.ref_allele, a.sequence)
+                    for a in var.alts
                 ):
                     flags["extracted"] = True
 
@@ -206,10 +224,10 @@ class ProbeTracker:
         for pv in self.index.variants:
             flags = self._flags.setdefault(pv.key, {})
             for vi, var in enumerate(variants):
-                if not (
-                    var.chrom_name == pv.chrom
-                    and var.genome_pos1 == pv.pos1
-                    and var.ref_allele == pv.ref
+                if not any(
+                    self._matches_probe(pv, var.chrom_name, var.genome_pos1,
+                                        var.ref_allele, a.sequence)
+                    for a in var.alts
                 ):
                     continue
                 supports = geno_result.get(vi, {})

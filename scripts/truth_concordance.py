@@ -5,8 +5,13 @@ Reference: scripts/truth_concordance.py (the paper workflow's evaluation
 tool). Compares a called VCF(.gz) against a truth VCF/TSV by normalized
 (CHROM, POS, REF, ALT) identity, with optional QUAL and STATE filters.
 
+With --ref, indels are compared by applied-haplotype equivalence: two
+records match when applying their edits to the reference produces the same
+local sequence (catches left/right-shifted representations of the same
+indel in repeat contexts).
+
 Usage: truth_concordance.py <calls.vcf.gz> <truth.(vcf|tsv)> [--min-qual Q]
-       [--state CASE] [--window N]
+       [--state CASE] [--ref ref.fa]
 """
 
 from __future__ import annotations
@@ -64,20 +69,69 @@ def variant_type(ref: str, alt: str) -> str:
     return "MNP"
 
 
+def left_align(chrom, pos, ref_allele, alt, reference):
+    """Canonical left-aligned + parsimony-trimmed representation (vt-style).
+
+    Shifts pure indels leftward through repeat context using the reference,
+    so all equivalent representations map to one key.
+    """
+    ref_a, alt_a = ref_allele, alt
+    # parsimony right/left trim first
+    while len(ref_a) > 1 and len(alt_a) > 1 and ref_a[-1] == alt_a[-1]:
+        ref_a, alt_a = ref_a[:-1], alt_a[:-1]
+    while len(ref_a) > 1 and len(alt_a) > 1 and ref_a[0] == alt_a[0]:
+        ref_a, alt_a = ref_a[1:], alt_a[1:]
+        pos += 1
+    # left shift while both alleles end with the same base
+    guard = 0
+    while (
+        len(ref_a) != len(alt_a)
+        and ref_a[-1] == alt_a[-1]
+        and pos > 1
+        and guard < 10_000
+    ):
+        prev = reference.fetch(chrom, pos - 1, pos - 1)
+        if not prev:
+            break
+        ref_a = prev + ref_a[:-1]
+        alt_a = prev + alt_a[:-1]
+        pos -= 1
+        guard += 1
+        # re-trim any newly shared suffix base
+        while len(ref_a) > 1 and len(alt_a) > 1 and ref_a[-1] == alt_a[-1]:
+            ref_a, alt_a = ref_a[:-1], alt_a[:-1]
+    return (chrom, pos, ref_a, alt_a)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("calls")
     ap.add_argument("truth")
     ap.add_argument("--min-qual", type=float, default=None)
     ap.add_argument("--state", default=None, help="require INFO state flag (e.g. CASE)")
+    ap.add_argument("--ref", default=None, help="reference FASTA for shift-equivalent indel matching")
     args = ap.parse_args()
 
     calls = load_variants(args.calls, args.min_qual, args.state)
     truth = load_variants(args.truth)
 
-    tp = calls & truth
-    fn = truth - calls
-    fp = calls - truth
+    if args.ref is not None:
+        import sys as _sys, os as _os
+
+        _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        from lancet2_tpu.hts.fasta import Reference
+
+        reference = Reference(args.ref)
+        call_la = {left_align(*v, reference): v for v in calls}
+        truth_la = {left_align(*v, reference): v for v in truth}
+        tp_keys = set(call_la) & set(truth_la)
+        tp = {truth_la[k] for k in tp_keys}
+        fn = {truth_la[k] for k in set(truth_la) - tp_keys}
+        fp = {call_la[k] for k in set(call_la) - tp_keys}
+    else:
+        tp = calls & truth
+        fn = truth - calls
+        fp = calls - truth
 
     def by_type(vs):
         out = {}
