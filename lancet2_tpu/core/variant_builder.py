@@ -100,20 +100,20 @@ class VariantBuilder:
     def process_window(self, window: Window) -> list[VariantCall]:
         try:
             prepared = self._process_window_impl(window)
+            if not isinstance(prepared, PreparedWindow):
+                return prepared if isinstance(prepared, list) else []
+            geno_results = []
+            for pc in prepared.components:
+                with self.timer.stage("genotype"):
+                    geno_results.append(
+                        self.genotyper.genotype(pc.hap_seqs, prepared.reads, pc.variants)
+                    )
+            return self.finalize_window(prepared, geno_results)
         finally:
             # probe flags must flush under THIS window's label on every exit
-            # path (early skips included)
+            # path — after finalize's genotyper checks (early skips included)
             if self.probe_tracker is not None:
                 self.probe_tracker.submit_completed()
-        if not isinstance(prepared, PreparedWindow):
-            return prepared if isinstance(prepared, list) else []
-        geno_results = []
-        for pc in prepared.components:
-            with self.timer.stage("genotype"):
-                geno_results.append(
-                    self.genotyper.genotype(pc.hap_seqs, prepared.reads, pc.variants)
-                )
-        return self.finalize_window(prepared, geno_results)
 
     def _process_window_impl(self, window: Window) -> list[VariantCall]:
         self.current_code = StatusCode.UNKNOWN
