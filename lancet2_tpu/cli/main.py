@@ -31,6 +31,13 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native microassembly somatic/germline variant caller",
     )
     sub = parser.add_subparsers(dest="command", required=True)
+
+    ix = sub.add_parser("index", help="build a .bai index for a BAM "
+                                      "(htslib-compatible; see hts/bai.py)")
+    ix.add_argument("bam", help="coordinate-sorted BAM file")
+    ix.add_argument("-o", "--output", default=None, help="output .bai path "
+                                                         "(default: <bam>.bai)")
+
     pl = sub.add_parser("pipeline", help="run the variant calling pipeline")
 
     # sample inputs
@@ -63,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--executor", choices=["threads", "batch"], default="threads",
                     help="batch = two-phase executor with fused cross-window "
                          "evidence-DP dispatches (implies the evidence backend)")
+    pl.add_argument("--device", choices=["cpu", "tpu"], default="cpu",
+                    help="where the jitted evidence-DP runs: cpu pins JAX to "
+                         "host XLA; tpu keeps the default accelerator backend "
+                         "(pair best with --executor batch so dispatches are "
+                         "large and fused)")
 
     # graph params
     pl.add_argument("-k", "--min-kmer", type=int, default=13)
@@ -75,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     # toggles
     pl.add_argument("--verbose", action="store_true")
     pl.add_argument("--extract-pairs", action="store_true")
+    pl.add_argument("--stream-bam", action="store_true",
+                    help="BAI-indexed streaming BAM access (bounded memory "
+                         "for multi-GB inputs; builds the .bai when missing)")
     pl.add_argument("--no-active-region", action="store_true")
     pl.add_argument("--no-contig-check", action="store_true")
     pl.add_argument("--genome-gc-bias", type=float, default=0.41)
@@ -108,15 +123,24 @@ def run_pipeline(args, command_line: str) -> dict:
     if args.executor == "batch":
         args.aligner_backend = "evidence"
     if args.aligner_backend in ("jax", "evidence"):
-        # The host pipeline's jitted aligner runs on host CPU XLA: per-window
-        # dispatches through the TPU tunnel would pay ~20ms RTT each. (The
-        # device-resident batch path is ops.window_step / bench.py.)
         import jax
 
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
+        if args.device == "cpu":
+            # Host CPU XLA: per-window dispatches through a TPU tunnel would
+            # pay ~20ms RTT each, so cpu is the default for the threads
+            # executor. --device tpu leaves the accelerator backend in place
+            # (the batch executor's fused pair_chunk dispatches amortize the
+            # per-dispatch cost; evidence DP is plain lax.scan JAX and
+            # compiles for TPU unchanged).
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except RuntimeError:
+                pass
+        elif args.executor == "threads":
+            LOG.warning(
+                "--device tpu with --executor threads dispatches per-window; "
+                "use --executor batch for fused device batches"
+            )
         # persistent compile cache: the bucketed aligner shapes recur across
         # runs, so steady-state runs skip XLA compilation entirely
         import os as _os
@@ -139,9 +163,9 @@ def run_pipeline(args, command_line: str) -> dict:
     # pipeline_runner.cpp:274-307).
     skip_active = args.no_active_region
     if not skip_active:
-        from lancet2_tpu.hts.bam import BamReader
+        from lancet2_tpu.hts.bam import open_bam
 
-        if not has_md_tag(BamReader(samples[0].path)):
+        if not has_md_tag(open_bam(samples[0].path, stream=args.stream_bam)):
             LOG.warning("no MD tags found; disabling active-region prescan")
             skip_active = True
 
@@ -214,7 +238,8 @@ def run_pipeline(args, command_line: str) -> dict:
     params = BuilderParams(
         graph=graph_params,
         collector=CollectorParams(
-            max_sample_cov=args.max_sample_cov, extract_pairs=args.extract_pairs
+            max_sample_cov=args.max_sample_cov, extract_pairs=args.extract_pairs,
+            stream_bam=args.stream_bam,
         ),
         skip_active_region=skip_active,
         gc_fraction=args.genome_gc_bias,
@@ -237,8 +262,12 @@ def run_pipeline(args, command_line: str) -> dict:
     if args.executor == "batch":
         from lancet2_tpu.core.batch_pipeline import BatchPipelineExecutor
 
+        # TPU dispatches cap the pair chunk at 512: larger batch dims blow up
+        # XLA compile time through the device tunnel (a (2048,160,1280)
+        # evidence-DP compile never finishes where (512,160,1280) takes ~60s)
         executor = BatchPipelineExecutor(
-            params, ref, samples, windows, num_workers=args.num_threads
+            params, ref, samples, windows, num_workers=args.num_threads,
+            pair_chunk=512 if args.device == "tpu" else 2048,
         )
     else:
         executor = PipelineExecutor(
@@ -290,6 +319,20 @@ def main(argv=None) -> int:
     command_line = "lancet2-tpu " + " ".join(argv)
     if args.command == "pipeline":
         run_pipeline(args, command_line)
+        return 0
+    if args.command == "index":
+        from lancet2_tpu.hts.bai import build_bai
+        from lancet2_tpu.hts.bgzf import BgzfError
+
+        try:
+            out = build_bai(args.bam, args.output)
+        except FileNotFoundError:
+            print(f"error: no such file: {args.bam}", file=sys.stderr)
+            return 1
+        except (BgzfError, ValueError) as exc:
+            print(f"error: {args.bam}: not a BAM file ({exc})", file=sys.stderr)
+            return 1
+        print(out)
         return 0
     return 1
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from lancet2_tpu.cbdg.read import Read, sort_key
 from lancet2_tpu.core.sample_info import SampleInfo
-from lancet2_tpu.hts.bam import BamReader
+from lancet2_tpu.hts.bam import BamReader, open_bam
 from lancet2_tpu.hts.fasta import Region
 
 DEFAULT_MAX_WINDOW_COVERAGE = 1000.0
@@ -31,6 +31,9 @@ DEFAULT_MAX_WINDOW_COVERAGE = 1000.0
 class CollectorParams:
     max_sample_cov: float = DEFAULT_MAX_WINDOW_COVERAGE
     extract_pairs: bool = False
+    # index-backed streaming readers (BAI) instead of whole-file decode —
+    # bounded memory on multi-GB inputs (reference streams via htslib BAI)
+    stream_bam: bool = False
 
 
 def _passes_profile_filters(rec) -> bool:
@@ -42,7 +45,7 @@ class ReadCollector:
         self.params = params
         self.samples = samples
         self.readers: dict[str, BamReader] = {
-            s.path: BamReader(s.path) for s in samples
+            s.path: open_bam(s.path, stream=params.stream_bam) for s in samples
         }
 
     @property

@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from lancet2_tpu.cbdg.read import LABEL_CASE, LABEL_CTRL
-from lancet2_tpu.hts.bam import BamReader, parse_sample_name
+from lancet2_tpu.hts.bam import parse_sample_name, read_bam_header
 
 
 @dataclass
@@ -48,8 +48,9 @@ def make_sample_list(
     entries += [(p, LABEL_CASE) for p in tumor_paths]
     entries += [parse_sample_spec(s) for s in sample_specs]
     for path, tag in entries:
-        reader = BamReader(path)
-        name = parse_sample_name(reader.header_text) or path
+        # header-only read: inflates just the leading BGZF blocks
+        header_text, _refs = read_bam_header(path)
+        name = parse_sample_name(header_text) or path
         infos.append(SampleInfo(path=path, sample_name=name, tag=tag))
     infos.sort(key=lambda s: (s.tag, s.sample_name))
     for idx, info in enumerate(infos):

@@ -168,6 +168,88 @@ def _encode_aux(tags: dict[str, object]) -> bytes:
     return bytes(out)
 
 
+_CORE_UNPACK = struct.Struct("<iiiBBHHHiiii").unpack_from
+
+
+def parse_one_record(data, off: int) -> tuple[BamRecord, int]:
+    """Parse the record starting at uncompressed offset `off`; returns
+    (record, offset_after). `data` must contain the complete record."""
+    (
+        block_size, ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
+        l_seq, next_ref, next_pos, tlen,
+    ) = _CORE_UNPACK(data, off)
+    start = off + 4
+    end = start + block_size
+    p = start + 32
+    qname = bytes(data[p : p + l_read_name - 1]).decode("ascii")
+    p += l_read_name
+    cigar_raw = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=p)
+    cigar = [(int(c & 0xF), int(c >> 4)) for c in cigar_raw]
+    p += 4 * n_cigar
+    seq = _decode_seq(bytes(data[p : p + (l_seq + 1) // 2]), l_seq)
+    p += (l_seq + 1) // 2
+    qual = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=p).copy()
+    p += l_seq
+    tags = _parse_aux(bytes(data[p:end]))
+    rec = BamRecord(
+        qname, flag, ref_id, pos, mapq, cigar, next_ref, next_pos, tlen, seq, qual, tags
+    )
+    return rec, end
+
+
+def parse_bam_header(data) -> tuple[str, list[tuple[str, int]], int]:
+    """Parse magic + header text + reference list from uncompressed BAM bytes.
+
+    Returns (header_text, references, offset_of_first_record). Raises
+    IndexError/struct.error when `data` is too short (callers feeding
+    streamed blocks catch and retry with more data).
+    """
+    if data[:4] != BAM_MAGIC:
+        raise ValueError("not a BAM file")
+    l_text = struct.unpack_from("<i", data, 4)[0]
+    header_text = bytes(data[8 : 8 + l_text]).rstrip(b"\x00").decode("utf-8")
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", data, off)[0]
+    off += 4
+    references: list[tuple[str, int]] = []
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", data, off)[0]
+        if off + 8 + l_name > len(data):
+            raise IndexError("truncated reference list")
+        name = bytes(data[off + 4 : off + 4 + l_name - 1]).decode("ascii")
+        l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
+        references.append((name, l_ref))
+        off += 8 + l_name
+    return header_text, references, off
+
+
+def read_bam_header(path: str) -> tuple[str, list[tuple[str, int]]]:
+    """Header text + reference list by inflating only the leading BGZF
+    blocks (cheap for multi-GB inputs; whole-file decode not required)."""
+    buf = bytearray()
+    with open(path, "rb") as fh:
+        while True:
+            block = bgzf._read_block(fh)
+            if block is None:
+                raise ValueError(f"{path}: EOF before complete BAM header")
+            buf += block
+            try:
+                header_text, references, _ = parse_bam_header(buf)
+                return header_text, references
+            except (IndexError, struct.error):
+                continue  # need more blocks
+
+
+def open_bam(path: str, stream: bool = False):
+    """Factory: in-memory BamReader (default) or index-backed streaming
+    reader (requires/creates a .bai; see hts/bai.py)."""
+    if stream:
+        from lancet2_tpu.hts.bai import BamStreamReader
+
+        return BamStreamReader(path)
+    return BamReader(path)
+
+
 class BamReader:
     """Decode a BAM file into memory with per-contig region query support.
 
@@ -254,29 +336,9 @@ class BamReader:
     def _parse_records(self, data: bytes, off: int) -> list[BamRecord]:
         records = []
         n = len(data)
-        unpack_core = struct.Struct("<iiiBBHHHiiii").unpack_from
         while off + 4 <= n:
-            (block_size,) = struct.unpack_from("<i", data, off)
-            start = off + 4
-            off = start + block_size
-            (
-                ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
-                l_seq, next_ref, next_pos, tlen,
-            ) = unpack_core(data, start - 4)[1:]
-            p = start + 32
-            qname = data[p : p + l_read_name - 1].decode("ascii")
-            p += l_read_name
-            cigar_raw = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=p)
-            cigar = [(int(c & 0xF), int(c >> 4)) for c in cigar_raw]
-            p += 4 * n_cigar
-            seq = _decode_seq(data[p : p + (l_seq + 1) // 2], l_seq)
-            p += (l_seq + 1) // 2
-            qual = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=p).copy()
-            p += l_seq
-            tags = _parse_aux(data[p:off])
-            records.append(
-                BamRecord(qname, flag, ref_id, pos, mapq, cigar, next_ref, next_pos, tlen, seq, qual, tags)
-            )
+            rec, off = parse_one_record(data, off)
+            records.append(rec)
         return records
 
     def ref_name(self, ref_id: int) -> str:

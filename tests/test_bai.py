@@ -1,0 +1,132 @@
+"""BAI index + streaming BAM reader (hts/bai.py).
+
+Reference capability: htslib BAI random access used by hts::Extractor
+(reference: src/lancet/hts/extractor.{h,cpp}). Verifies bin math against
+the SAM-spec definition, index build/load round-trip, and that the
+streaming reader's fetch() is record-identical to the in-memory reader.
+"""
+
+import numpy as np
+import pytest
+
+from lancet2_tpu.hts.bai import (
+    BaiIndex,
+    BamStreamReader,
+    build_bai,
+    reg2bin,
+    reg2bins,
+)
+from lancet2_tpu.hts.bam import BamReader, read_bam_header
+from lancet2_tpu.utils.simulate import make_tumor_normal_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bai")
+    return make_tumor_normal_fixture(str(d), ref_len=60_000, seed=71,
+                                     normal_cov=12, tumor_cov=12)
+
+
+class TestBinMath:
+    def test_reg2bin_leaf(self):
+        # within one 16kb window -> leaf level (offset 4681)
+        assert reg2bin(0, 100) == 4681
+        assert reg2bin(16384, 16385) == 4682
+
+    def test_reg2bin_levels(self):
+        # spans a 16kb boundary -> parent 128kb bin
+        assert reg2bin(16000, 17000) == 585
+        # spans everything -> root
+        assert reg2bin(0, 1 << 29) == 0
+
+    def test_reg2bins_contains_reg2bin(self):
+        rng = np.random.default_rng(5)
+        for _ in range(50):
+            beg = int(rng.integers(0, 1 << 22))
+            end = beg + int(rng.integers(1, 40_000))
+            assert reg2bin(beg, end) in reg2bins(beg, end)
+        assert 0 in reg2bins(123, 456)
+
+
+class TestBuildAndLoad:
+    def test_round_trip(self, fixture, tmp_path):
+        bai_path = build_bai(fixture["normal"], str(tmp_path / "n.bai"))
+        idx = BaiIndex.load(bai_path)
+        assert len(idx.bins) == 1  # one contig
+        # metadata pseudo-bin present with (mapped, unmapped) counts
+        meta = idx.bins[0].get(37450)
+        assert meta is not None
+        n_records = len(BamReader(fixture["normal"]).all_records())
+        assert meta[1][0] + meta[1][1] == n_records
+        # linear index is monotonically non-decreasing after back-fill
+        lin = idx.linear[0]
+        assert len(lin) > 0
+        assert np.all(np.diff(lin.astype(np.int64)) >= 0)
+
+    def test_header_only_read(self, fixture):
+        header_text, refs = read_bam_header(fixture["normal"])
+        full = BamReader(fixture["normal"])
+        assert header_text == full.header_text
+        assert refs == full.references
+
+
+class TestStreamingFetch:
+    def test_fetch_matches_in_memory(self, fixture):
+        full = BamReader(fixture["normal"])
+        stream = BamStreamReader(fixture["normal"])  # builds .bai on demand
+        chrom = full.references[0][0]
+        rng = np.random.default_rng(7)
+        for _ in range(25):
+            s1 = int(rng.integers(1, 59_000))
+            e1 = s1 + int(rng.integers(1, 2_500))
+            expect = [(r.qname, r.flag, r.pos0) for r in full.fetch(chrom, s1, e1)]
+            got = [(r.qname, r.flag, r.pos0) for r in stream.fetch(chrom, s1, e1)]
+            assert sorted(got) == sorted(expect), f"region {chrom}:{s1}-{e1}"
+
+    def test_fetch_record_fields_identical(self, fixture):
+        full = BamReader(fixture["normal"])
+        stream = BamStreamReader(fixture["normal"])
+        chrom = full.references[0][0]
+        a = sorted(full.fetch(chrom, 30_000, 31_000), key=lambda r: (r.pos0, r.qname))
+        b = sorted(stream.fetch(chrom, 30_000, 31_000), key=lambda r: (r.pos0, r.qname))
+        assert len(a) == len(b) > 0
+        for ra, rb in zip(a, b):
+            assert ra.seq == rb.seq
+            assert np.array_equal(ra.qual, rb.qual)
+            assert ra.cigar == rb.cigar
+            assert ra.tags == rb.tags
+
+    def test_all_records_generator_is_lazy_and_complete(self, fixture):
+        stream = BamStreamReader(fixture["normal"])
+        gen = stream.all_records()
+        first = next(gen)
+        assert first.qname
+        count = 1 + sum(1 for _ in gen)
+        assert count == len(BamReader(fixture["normal"]).all_records())
+
+    def test_empty_and_out_of_range_regions(self, fixture):
+        stream = BamStreamReader(fixture["normal"])
+        chrom = stream.references[0][0]
+        assert stream.fetch("chrMissing", 1, 100) == []
+        assert stream.fetch(chrom, 70_001, 71_000) == []  # beyond the contig
+
+
+class TestPipelineWithStreaming:
+    def test_cli_stream_bam_end_to_end(self, fixture, tmp_path):
+        import gzip
+
+        from lancet2_tpu.cli.main import main as cli_main
+
+        out_mem = str(tmp_path / "mem.vcf.gz")
+        out_str = str(tmp_path / "str.vcf.gz")
+        base = ["pipeline", "-n", fixture["normal"], "-t", fixture["tumor"],
+                "-r", fixture["fasta"], "-T", "2", "-R",
+                f"{fixture['chrom']}:20000-28000"]
+        assert cli_main(base + ["-o", out_mem]) == 0
+        assert cli_main(base + ["-o", out_str, "--stream-bam"]) == 0
+
+        def records(p):
+            with gzip.open(p, "rt") as fh:
+                return [l for l in fh if not l.startswith("#")]
+
+        assert records(out_str) == records(out_mem)
