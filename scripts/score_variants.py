@@ -96,6 +96,9 @@ def main() -> int:
 
     model = json.load(open(args.model)) if args.model else None
 
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from lancet2_tpu.hts.bgzf import BgzfWriter
 
     out = BgzfWriter(args.out_vcf)
