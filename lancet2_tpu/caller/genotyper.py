@@ -124,7 +124,9 @@ class Genotyper:
             n_pairs = hi - lo
             bq = _bucket(max(len(s) for s in pair_q[lo:hi]), (160, 320, 640, 1280))
             bt = _bucket(max(len(s) for s in pair_t[lo:hi]))
-            bb = _bucket(n_pairs, (64, 128, 256, 512))
+            # bucket list must cover the largest pair chunk: an exact-n
+            # fallback would mint a fresh XLA shape per run (never cached)
+            bb = _bucket(n_pairs, (64, 128, 256, 512, 1024, 2048, 4096))
             qs, qlens = _pad(pair_q[lo:hi] + [pair_q[lo]] * (bb - n_pairs), bq)
             qus, _ = _pad(pair_qu[lo:hi] + [pair_qu[lo]] * (bb - n_pairs), bq)
             ts, tlens = _pad(pair_t[lo:hi] + [pair_t[lo]] * (bb - n_pairs), bt)

@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--checkpoint", action="store_true",
                     help="write a window-cursor checkpoint next to the VCF and "
                          "resume from it when present")
+    pl.add_argument("--append-history", action="store_true",
+                    help="append this run's stats + stage profile to "
+                         "profiling/history.jsonl (the committed trend file; "
+                         "analyze with scripts/analyze_profile.py)")
     return parser
 
 
@@ -309,6 +313,17 @@ def run_pipeline(args, command_line: str) -> dict:
              stats.get("status_counts"))
     stats["total_runtime_s"] = runtime
     stats["peak_rss_mb"] = peak_rss_mb
+    if args.append_history:
+        from lancet2_tpu.utils.profiling import append_history
+
+        append_history({
+            "kind": "pipeline",
+            "executor": args.executor,
+            "backend": args.aligner_backend,
+            "device": args.device,
+            "num_threads": args.num_threads,
+            **stats,
+        })
     return stats
 
 

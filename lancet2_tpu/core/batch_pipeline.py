@@ -35,6 +35,7 @@ from lancet2_tpu.core.variant_builder import (
 )
 from lancet2_tpu.core.variant_store import VariantStore
 from lancet2_tpu.utils.logging import get_logger
+from lancet2_tpu.utils.profiling import StageTimer
 
 LOG = get_logger("batch_pipeline")
 
@@ -61,6 +62,8 @@ class BatchPipelineExecutor:
         self.pair_chunk = pair_chunk
         self.store = VariantStore(windows)
         self.status_counts: dict[StatusCode, int] = {}
+        self.stage_timer = StageTimer()
+        self._timer_lock = threading.Lock()
 
     def execute(self, out) -> dict:
         import copy
@@ -93,11 +96,15 @@ class BatchPipelineExecutor:
                     try:
                         bi, window = work_q.get_nowait()
                     except queue.Empty:
+                        with self._timer_lock:
+                            self.stage_timer.merge(builder.timer)
                         return
                     try:
                         prepared = builder.prepare_window(window)
                     except Exception as exc:
                         failures.append((window, exc, traceback.format_exc()))
+                        with self._timer_lock:
+                            self.stage_timer.merge(builder.timer)
                         return
                     prepared_items[bi] = (prepared, builder.current_code)
 
@@ -144,7 +151,10 @@ class BatchPipelineExecutor:
                 old_chunk = genotyper_mod._PAIR_CHUNK
                 genotyper_mod._PAIR_CHUNK = self.pair_chunk
                 try:
-                    outs = genotyper.run_evidence_pairs(all_q, all_qu, all_t, all_meta)
+                    with self.stage_timer.stage("genotype_device"):
+                        outs = genotyper.run_evidence_pairs(
+                            all_q, all_qu, all_t, all_meta
+                        )
                 finally:
                     genotyper_mod._PAIR_CHUNK = old_chunk
 
@@ -154,9 +164,10 @@ class BatchPipelineExecutor:
                 comp_data, spans
             ):
                 comp_outs = {k: v[start:stop] for k, v in (outs or {}).items()}
-                geno = genotyper.assemble_evidence(
-                    prepared.reads, pc.variants, pm, comp_outs
-                )
+                with self.stage_timer.stage("assemble_evidence"):
+                    geno = genotyper.assemble_evidence(
+                        prepared.reads, pc.variants, pm, comp_outs
+                    )
                 calls = per_window_calls.setdefault(bi, [])
                 for vi, variant in enumerate(pc.variants):
                     supports = geno.get(vi)
@@ -196,10 +207,15 @@ class BatchPipelineExecutor:
 
         flushed += self.store.flush_all(out)
         runtime = time.monotonic() - t_start
+        stage_report = self.stage_timer.report()
+        if stage_report:
+            LOG.info("stage profile: %s",
+                     ", ".join(f"{k}={v['pct']}%" for k, v in stage_report.items()))
         return {
             "windows": num_done,
             "flushed": flushed,
             "runtime_s": runtime,
             "windows_per_s": num_done / runtime if runtime > 0 else 0.0,
             "status_counts": {k.name: v for k, v in self.status_counts.items()},
+            "stage_profile": stage_report,
         }
