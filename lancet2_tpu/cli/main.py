@@ -162,6 +162,30 @@ def run_pipeline(args, command_line: str) -> dict:
     LOG.info("loaded %d sample(s): %s", len(samples),
              ", ".join(f"{s.sample_name}({'case' if s.tag == 4 else 'ctrl'})" for s in samples))
 
+    # contig check: every BAM @SQ contig must exist in the reference with a
+    # matching length, else windows would be built against the wrong
+    # assembly (reference: pipeline_runner.cpp ValidateAndPopulateParams;
+    # --no-contig-check bypasses, e.g. for decoy-trimmed references)
+    if not args.no_contig_check:
+        from lancet2_tpu.hts.bam import read_bam_header
+
+        ref_lens = {c.name: c.length for c in ref.list_chroms()}
+        for s in samples:
+            _hdr, bam_refs = read_bam_header(s.path)
+            for name, length in bam_refs:
+                if name not in ref_lens:
+                    raise SystemExit(
+                        f"contig check failed: {s.path} has contig '{name}' "
+                        f"absent from {args.reference} "
+                        "(use --no-contig-check to bypass)"
+                    )
+                if ref_lens[name] != length:
+                    raise SystemExit(
+                        f"contig check failed: {s.path} contig '{name}' length "
+                        f"{length} != reference {ref_lens[name]} "
+                        "(use --no-contig-check to bypass)"
+                    )
+
     # MD-tag probe: active-region prescan needs MD or X CIGAR ops; if the
     # first sample lacks MD tags, force --no-active-region (reference:
     # pipeline_runner.cpp:274-307).
@@ -272,6 +296,8 @@ def run_pipeline(args, command_line: str) -> dict:
         executor = BatchPipelineExecutor(
             params, ref, samples, windows, num_workers=args.num_threads,
             pair_chunk=512 if args.device == "tpu" else 2048,
+            checkpoint=ckpt,
+            min_emit_pos=min_emit_pos,
         )
     else:
         executor = PipelineExecutor(
@@ -298,7 +324,10 @@ def run_pipeline(args, command_line: str) -> dict:
         if probe_writer is not None:
             probe_writer.close()
 
-    if args.out_graphs_tgz and executor.shard_paths:
+    if args.out_graphs_tgz and not getattr(executor, "shard_paths", None):
+        LOG.warning("--out-graphs-tgz: no graph shards produced "
+                    "(the batch executor does not emit graph snapshots)")
+    if args.out_graphs_tgz and getattr(executor, "shard_paths", None):
         from lancet2_tpu.utils.targz import merge_shards
 
         n_entries = merge_shards(executor.shard_paths, args.out_graphs_tgz)

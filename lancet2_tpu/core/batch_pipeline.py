@@ -52,6 +52,8 @@ class BatchPipelineExecutor:
         num_workers: int = 2,
         window_batch: int = DEFAULT_WINDOW_BATCH,
         pair_chunk: int = 2048,
+        checkpoint=None,
+        min_emit_pos=None,
     ):
         self.params = params
         self.ref = ref
@@ -60,7 +62,8 @@ class BatchPipelineExecutor:
         self.num_workers = max(1, num_workers)
         self.window_batch = window_batch
         self.pair_chunk = pair_chunk
-        self.store = VariantStore(windows)
+        self.checkpoint = checkpoint
+        self.store = VariantStore(windows, min_emit_pos=min_emit_pos)
         self.status_counts: dict[StatusCode, int] = {}
         self.stage_timer = StageTimer()
         self._timer_lock = threading.Lock()
@@ -201,7 +204,11 @@ class BatchPipelineExecutor:
             # windows are processed in genomic batch order: everything before
             # the next batch's first window is final
             if lo + self.window_batch < n:
-                flushed += self.store.flush_before_window(lo + self.window_batch, out)
+                target = lo + self.window_batch
+                flushed += self.store.flush_before_window(target, out)
+                if self.checkpoint is not None:
+                    w = self.windows[target]
+                    self.checkpoint.save(w.chrom_index, w.start1, num_done)
             rate = num_done / (time.monotonic() - t_start)
             LOG.info("batch %d-%d done (%.2f win/s)", lo, lo + len(batch) - 1, rate)
 
