@@ -66,7 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="total hosts; the window manifest is block-sharded "
                          "and each host writes its own VCF shard (merge with "
                          "lancet2_tpu.parallel.manifest.merge_vcf_shards)")
-    pl.add_argument("--aligner-backend", choices=["numpy", "jax", "evidence"], default="numpy")
+    pl.add_argument("--aligner-backend", choices=["numpy", "jax", "evidence"],
+                    default="jax",
+                    help="jax (default): jitted bucketed XLA engine, ~2x the "
+                         "numpy baseline on hosts, record-identical; numpy: "
+                         "reference-parity baseline; evidence: traceback-free "
+                         "device formulation (what --executor batch uses)")
     pl.add_argument("--executor", choices=["threads", "batch"], default="threads",
                     help="batch = two-phase executor with fused cross-window "
                          "evidence-DP dispatches (implies the evidence backend)")
