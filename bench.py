@@ -27,19 +27,20 @@ CHAIN_K = 16
 
 
 def bench_sw_kernel():
-    """Amortized fitting-DP GCUPS over a chained-scan of CHAIN_K aligns."""
+    """Amortized fitting-DP GCUPS over a chained-scan of CHAIN_K aligns
+    (the Pallas Mosaic kernel — the flagship alignment engine)."""
     import jax
     import jax.numpy as jnp
 
-    from lancet2_tpu.ops.affine_dp import READ_TO_HAP
-    from lancet2_tpu.ops.affine_dp_jax import _make_align
+    from lancet2_tpu.ops.sw_pallas import fitting_scores_device
 
-    align = _make_align(READ_TO_HAP, with_dirs=False)
     B, Lq, Lt = 2048, 152, 1024
 
     def chained(q, ql, t, tl):
         def body(carry, _):
-            s, _te = align(carry, ql, t, tl)
+            s, _te = fitting_scores_device(
+                carry.T.astype(jnp.int32), ql[:, None], t, tl[:, None], Lq, Lt
+            )
             # fold the score into the next query -> sequential dependency
             nxt = (carry + (s[:, None] & 1).astype(jnp.uint8)) % 4
             return nxt, s[0]

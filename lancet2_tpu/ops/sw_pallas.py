@@ -17,7 +17,14 @@ target gap), score = max over valid target columns of the H row at i=q_len.
 
 Layout: grid over batch tiles of B_TILE pairs; targets [B_TILE, Lt] with the
 target axis on lanes; queries transposed [Lq, B_TILE] so each row read is a
-cheap sublane slice. int32 state.
+cheap sublane slice.
+
+Two state dtypes:
+  * int16 (default when score bounds allow): DP state packs two values per
+    32-bit VPU lane, halving vector-register traffic — the kernel is
+    issue-bound, so this is ~2x. Bounds: all live values stay within
+    [NEG16 - ge*Lq, Lq*match + ge*Lt]; guarded by `_int16_safe`.
+  * int32 fallback for long targets/queries.
 """
 
 from __future__ import annotations
@@ -32,60 +39,99 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lancet2_tpu.ops.affine_dp import AlignParams, NEG_INF, READ_TO_HAP
 
-B_TILE = 128
+B_TILE = 256
+NEG16 = np.int16(-8192)
+_SHIFT_STYLE = "concat"  # "roll" (rotate+mask) or "concat" (fill-block concat)
 
 
-def _shift_right_neg(x: jnp.ndarray, shift: int, col_ids: jnp.ndarray) -> jnp.ndarray:
-    """y[:, j] = x[:, j-shift] for j >= shift else NEG (lane-axis shift)."""
+def _int16_safe(Lq: int, Lt: int, p: AlignParams) -> bool:
+    """int16 DP state would halve vreg traffic, but the v5e Mosaic target
+    rejects i16 maximum/subtract/ordered-compare vector ops (probed on
+    hardware), so the kernel always runs int32 state. Kept for when a
+    target with packed-16-bit VPU arithmetic shows up."""
+    return False
+
+
+def _shift_right_neg(x: jnp.ndarray, shift: int, col_ids: jnp.ndarray, neg) -> jnp.ndarray:
+    """y[:, j] = x[:, j-shift] for j >= shift else NEG (lane-axis shift).
+
+    Mosaic's rotate only handles 32-bit data, so 16-bit uses a fill-block
+    concatenate (lane-axis concats preserve the packed 32-bit lane layout).
+    """
+    if x.dtype == jnp.int16 or _SHIFT_STYLE == "concat":
+        fill = jnp.full((x.shape[0], shift), neg, x.dtype)
+        return jnp.concatenate([fill, x[:, :-shift]], axis=1)
     rolled = pltpu.roll(x, shift, axis=1)
-    return jnp.where(col_ids >= shift, rolled, np.int32(NEG_INF))
+    return jnp.where(col_ids >= shift, rolled, neg)
 
 
-def _make_kernel(Lq: int, Lt: int, p: AlignParams):
+def _shift1_col0(x: jnp.ndarray, col0, first_col: jnp.ndarray, sdt) -> jnp.ndarray:
+    """Shift right by one lane, inserting the (traced scalar) col0 value."""
+    if x.dtype == jnp.int16:
+        blk = jnp.broadcast_to(col0.astype(jnp.int32)[None, None], (x.shape[0], 1))
+        return jnp.concatenate([blk.astype(sdt), x[:, :-1]], axis=1)
+    return jnp.where(first_col, col0.astype(sdt), pltpu.roll(x, 1, axis=1))
+
+
+def _make_kernel(Lq: int, Lt: int, p: AlignParams, use_i16: bool):
     go, ge = p.gap_open1, p.gap_extend1
     if p.dual or not p.free_target_ends:
         raise NotImplementedError("pallas kernel covers the fitting single-affine mode")
 
     log_steps = max(1, int(np.ceil(np.log2(Lt))))
+    sdt = jnp.int16 if use_i16 else jnp.int32
+    ndt = np.int16 if use_i16 else np.int32
+    neg = NEG16 if use_i16 else np.int32(NEG_INF)
+    s_match, s_mis, s_zero = ndt(p.match), ndt(-p.mismatch), ndt(0)
 
     def kernel(q_ref, qlen_ref, t_ref, tlen_ref, score_ref, tend_ref):
-        t_codes = t_ref[:, :].astype(jnp.int32)  # [B, Lt]
-        q_lens = qlen_ref[:, 0]  # [B]
+        t32 = t_ref[:, :].astype(jnp.int32)  # [B, Lt]
+        t_codes = t32.astype(sdt)
+        q_lens = qlen_ref[:, 0]  # [B] int32
         t_lens = tlen_ref[:, 0]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, Lt), 1)
         t_valid = col_ids < t_lens[:, None]
-        jcols = col_ids + 1  # 1-based target positions
+        t_is_n = t32 >= 4  # loop-invariant; >= compares stay 32-bit (VPU i16
+        # ordered compares are unsupported on v5e — only eq survives narrow)
+        # loop-invariant halves of the substitution matrix (N scores 0)
+        sub_m = jnp.where(t_is_n, s_zero, s_match)
+        sub_x = jnp.where(t_is_n, s_zero, s_mis)
+        first_col = col_ids == 0
+        # F[j] = cummax(C)[j] - (go+ge) - ge*(j-1) - ge  with C = shift(H_tmp) + ge*j
+        ramp = (ge * (col_ids + 1)).astype(sdt)  # ge * j (1-based)
+        f_off = ramp + ndt(go + ge)
 
-        H0 = jnp.zeros((B_TILE, Lt), jnp.int32)  # columns 1..Lt of row 0
-        V0 = jnp.full((B_TILE, Lt), np.int32(NEG_INF), jnp.int32)
+        H0 = jnp.zeros((B_TILE, Lt), sdt)  # columns 1..Lt of row 0
+        V0 = jnp.full((B_TILE, Lt), neg, sdt)
         finalH0 = H0
 
         def row_update(i, qi, carry):
-            # i is the 1-based row; qi [B] this row's query bases
+            # i is the 1-based row (traced int32); qi [B] this row's query bases
             H_prev, V_prev, final_H = carry
-            qi = qi.astype(jnp.int32)[:, None]  # [B, 1]
-            any_n = (qi >= 4) | (t_codes >= 4)
-            sub = jnp.where(any_n, 0, jnp.where(qi == t_codes, p.match, -p.mismatch))
+            # reshape to [B, 1] in 32-bit first: Mosaic only supports
+            # minor-dim insertion for 32-bit types, then narrow
+            qi32 = qi.astype(jnp.int32)[:, None] if qi.dtype != jnp.int32 else qi[:, None]
+            qi = qi32.astype(sdt)
+            eq = qi == t_codes
+            sub = jnp.where(qi32 >= 4, s_zero, jnp.where(eq, sub_m, sub_x))
 
             # H[i-1][0]: 0 for the virtual row 0 (free leading target gap),
             # else the query-prefix insertion cost
             col0_prev = jnp.where(i == 1, 0, -(go + ge * (i - 1)))
-            h_col0_prev = jnp.full((B_TILE, 1), 0, jnp.int32) + col0_prev
-            H_prev_full = jnp.concatenate([h_col0_prev, H_prev[:, :-1]], axis=1)
+            H_prev_full = _shift1_col0(H_prev, col0_prev, first_col, sdt)
             diag = H_prev_full + sub
 
-            v_open = H_prev - (go + ge)
-            V_row = jnp.maximum(v_open, V_prev - ge)
+            v_open = H_prev - ndt(go + ge)
+            V_row = jnp.maximum(v_open, V_prev - ndt(ge))
             H_tmp = jnp.maximum(diag, V_row)
 
             # horizontal gaps: prefix max of C[k] = H_tmp_full[k-1] + ge*k
-            h_col0 = jnp.full((B_TILE, 1), -(go + ge * i), jnp.int32)
-            Htmp_shift = jnp.concatenate([h_col0, H_tmp[:, :-1]], axis=1)
-            C = Htmp_shift + ge * jcols
-            run = C
+            col0 = -(go + ge * i)
+            Htmp_shift = _shift1_col0(H_tmp, col0, first_col, sdt)
+            run = Htmp_shift + ramp
             for s in range(log_steps):
-                run = jnp.maximum(run, _shift_right_neg(run, 1 << s, col_ids))
-            F_row = run - (go + ge) - ge * (jcols - 1) - ge
+                run = jnp.maximum(run, _shift_right_neg(run, 1 << s, col_ids, neg))
+            F_row = run - f_off
 
             H_row = jnp.maximum(H_tmp, F_row)
             # No per-row target masking: DP deps flow only left->right and
@@ -106,22 +152,29 @@ def _make_kernel(Lq: int, Lt: int, p: AlignParams):
 
         _, _, final_H = jax.lax.fori_loop(0, Lq // 8, chunk_body, (H0, V0, finalH0))
 
-        masked = jnp.where(t_valid, final_H, np.int32(NEG_INF))
-        best = jnp.max(masked, axis=1)
+        masked32 = jnp.where(t_valid, final_H.astype(jnp.int32), np.int32(NEG_INF))
+        best = jnp.max(masked32, axis=1)
         score_ref[:, 0] = best
         # Mosaic lacks integer argmax: first-max column via min over matches
-        is_max = masked == best[:, None]
-        first_col = jnp.min(jnp.where(is_max, col_ids, np.int32(Lt)), axis=1)
-        tend_ref[:, 0] = first_col + 1
+        is_max = masked32 == best[:, None]
+        first = jnp.min(jnp.where(is_max, col_ids, np.int32(Lt)), axis=1)
+        tend_ref[:, 0] = first + 1
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("Lq", "Lt"))
 def _run(queries_t, q_lens, targets, t_lens, Lq: int, Lt: int):
+    return fitting_scores_device(queries_t, q_lens, targets, t_lens, Lq, Lt)
+
+
+def fitting_scores_device(queries_t, q_lens, targets, t_lens, Lq: int, Lt: int):
+    """Jit-composable Pallas dispatch. Shapes must already satisfy:
+    B % B_TILE == 0, Lq % 8 == 0; queries transposed [Lq, B]; q_lens/t_lens
+    [B, 1] int32. Returns (scores [B] int32, t_end [B] int32, 1-based)."""
     B = targets.shape[0]
     grid = (B // B_TILE,)
-    kernel = _make_kernel(Lq, Lt, READ_TO_HAP)
+    kernel = _make_kernel(Lq, Lt, READ_TO_HAP, _int16_safe(Lq, Lt, READ_TO_HAP))
     score, tend = pl.pallas_call(
         kernel,
         grid=grid,
@@ -138,6 +191,9 @@ def _run(queries_t, q_lens, targets, t_lens, Lq: int, Lt: int):
         out_shape=(
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * B * Lq * Lt, bytes_accessed=B * (Lq + Lt) * 2, transcendentals=0
         ),
     )(queries_t, q_lens, targets, t_lens)
     return score[:, 0], tend[:, 0]
@@ -166,7 +222,7 @@ def sw_fitting_scores_pallas(queries, q_lens, targets, t_lens):
         q_lens = np.concatenate([q_lens, np.full(pad, Lq, np.int32)])
         t_lens = np.concatenate([t_lens, np.full(pad, Lt, np.int32)])
     score, tend = _run(
-        jnp.asarray(queries.T), jnp.asarray(q_lens[:, None]),
+        jnp.asarray(queries.T.astype(np.int32)), jnp.asarray(q_lens[:, None]),
         jnp.asarray(targets), jnp.asarray(t_lens[:, None]), Lq, Lt,
     )
     return np.asarray(score)[:B], np.asarray(tend)[:B]

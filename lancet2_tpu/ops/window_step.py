@@ -33,9 +33,48 @@ from lancet2_tpu.ops.affine_dp_jax import _make_align
 from lancet2_tpu.ops.genotype_tpu import batched_genotype_pls
 
 
-def make_window_step(num_samples: int, num_alleles: int, params: AlignParams = READ_TO_HAP):
-    """Build the jittable window-batch step function."""
+def _pallas_ok(params: AlignParams) -> bool:
+    return not params.dual and params.free_target_ends
+
+
+def _dp_scores_pallas(q, ql, t, tl):
+    """Pad to the Pallas kernel's alignment contract and dispatch.
+
+    q [B, L] uint8, ql [B], t [B, LH] uint8, tl [B] -> scores [B] int32.
+    """
+    from lancet2_tpu.ops.sw_pallas import B_TILE, fitting_scores_device
+
+    B, L = q.shape
+    LH = t.shape[1]
+    Lp = -(-L // 8) * 8
+    LHp = -(-LH // 128) * 128
+    Bp = -(-B // B_TILE) * B_TILE
+    q = jnp.pad(q, ((0, Bp - B), (0, Lp - L)), constant_values=5)
+    t = jnp.pad(t, ((0, Bp - B), (0, LHp - LH)), constant_values=5)
+    ql = jnp.pad(ql.astype(jnp.int32), (0, Bp - B), constant_values=Lp)
+    tl = jnp.pad(tl.astype(jnp.int32), (0, Bp - B), constant_values=LHp)
+    scores, _ = fitting_scores_device(
+        q.T.astype(jnp.int32), ql[:, None], t, tl[:, None], Lp, LHp
+    )
+    return scores[:B]
+
+
+def make_window_step(num_samples: int, num_alleles: int, params: AlignParams = READ_TO_HAP,
+                     dp_backend: str = "auto"):
+    """Build the jittable window-batch step function.
+
+    dp_backend: 'pallas' (Mosaic kernel — TPU only), 'scan' (XLA lax.scan
+    engine — any backend), or 'auto' (pallas on TPU when params fit the
+    kernel's fitting single-affine mode, else scan).
+    """
     align = _make_align(params, with_dirs=False)
+
+    def _use_pallas() -> bool:
+        if dp_backend == "pallas":
+            return True
+        if dp_backend == "auto":
+            return _pallas_ok(params) and jax.default_backend() in ("tpu", "axon")
+        return False
 
     def step(reads, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele):
         W, R, L = reads.shape
@@ -47,7 +86,10 @@ def make_window_step(num_samples: int, num_alleles: int, params: AlignParams = R
         t = jnp.broadcast_to(haps[:, None, :, :], (W, R, H, LH)).reshape(-1, LH)
         tl = jnp.broadcast_to(hap_lens[:, None, :], (W, R, H)).reshape(-1)
 
-        scores, _t_end = align(q, ql.astype(jnp.int32), t, tl.astype(jnp.int32))
+        if _use_pallas():
+            scores = _dp_scores_pallas(q, ql, t, tl)
+        else:
+            scores, _t_end = align(q, ql.astype(jnp.int32), t, tl.astype(jnp.int32))
         scores = scores.reshape(W, R, H)
 
         # allele assignment: best haplotype per read (mask invalid reads)
