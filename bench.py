@@ -104,21 +104,22 @@ def bench_window_step():
 
     from lancet2_tpu.ops.window_step import make_window_step, synth_window_batch
 
-    W, R, L, H, LH = 16, 128, 128, 4, 512
+    W, R, L, H, LH, MARGIN = 16, 128, 128, 4, 512, 64
     rng = np.random.default_rng(1)
     batch = synth_window_batch(
         rng, num_windows=W, reads_per_window=R, read_len=L, num_haps=H,
         hap_len=LH, num_samples=2,
     )
-    step = make_window_step(2, 2)
+    step = make_window_step(2, 2, band_margin=MARGIN)
     args_static = (
         batch["read_lens"], batch["read_sample"], batch["read_valid"],
-        batch["haps"], batch["hap_lens"], batch["hap_allele"],
+        batch["haps"], batch["hap_lens"], batch["hap_allele"], batch["read_offset"],
     )
 
-    def chained(reads, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele):
+    def chained(reads, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele, ro):
         def body(carry, _):
-            out = step(carry, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele)
+            out = step(carry, read_lens, read_sample, read_valid, haps, hap_lens,
+                       hap_allele, ro)
             bump = (out["allele_counts"].sum().astype(jnp.uint8) & 1)
             nxt = (carry + bump) % 4
             return nxt, out["gq"][0, 0]
@@ -130,7 +131,8 @@ def bench_window_step():
     t0 = time.perf_counter()
     np.asarray(fn(batch["reads"], *args_static))
     per_step = (time.perf_counter() - t0) / CHAIN_K
-    cells = W * R * H * L * LH
+    lb = -(-(L + 2 * MARGIN) // 128) * 128  # banded DP width
+    cells = W * R * H * L * min(lb, LH)
     return W / per_step, cells / per_step / 1e9, per_step
 
 
@@ -172,8 +174,8 @@ def main():
             "evidence_dp_ms_per_batch": round(ev_dt * 1e3, 2),
             "window_step_gcups": round(step_gcups, 2),
             "window_step_ms": round(step_dt * 1e3, 2),
-            "window_step_shape": "W16xR128xH4 (128bp reads, 512bp haps)",
-            "note": "device compute path only (batched DP + allele counts + DM PLs); host BAM IO not included; chained-scan timing",
+            "window_step_shape": "W16xR128xH4 (128bp reads, 512bp haps, 256-col band)",
+            "note": "device compute path only (banded batched DP + allele counts + DM PLs); host BAM IO not included; chained-scan timing; GCUPS counts banded cells",
         },
     }
     print(json.dumps(result))

@@ -42,6 +42,7 @@ from lancet2_tpu.ops.affine_dp import AlignParams, NEG_INF, READ_TO_HAP
 B_TILE = 256
 NEG16 = np.int16(-8192)
 _SHIFT_STYLE = "concat"  # "roll" (rotate+mask) or "concat" (fill-block concat)
+_STATE_DTYPE = "int32"  # "int32" or "float32" DP state
 
 
 def _int16_safe(Lq: int, Lt: int, p: AlignParams) -> bool:
@@ -79,9 +80,14 @@ def _make_kernel(Lq: int, Lt: int, p: AlignParams, use_i16: bool):
         raise NotImplementedError("pallas kernel covers the fitting single-affine mode")
 
     log_steps = max(1, int(np.ceil(np.log2(Lt))))
-    sdt = jnp.int16 if use_i16 else jnp.int32
-    ndt = np.int16 if use_i16 else np.int32
-    neg = NEG16 if use_i16 else np.int32(NEG_INF)
+    if use_i16:
+        sdt, ndt, neg = jnp.int16, np.int16, NEG16
+    elif _STATE_DTYPE == "float32":
+        # VPU-native float path: all values are small integers (|x| < 2^20),
+        # exact in f32; max/select/add lower to the native float ALUs
+        sdt, ndt, neg = jnp.float32, np.float32, np.float32(-(1 << 20))
+    else:
+        sdt, ndt, neg = jnp.int32, np.int32, np.int32(NEG_INF)
     s_match, s_mis, s_zero = ndt(p.match), ndt(-p.mismatch), ndt(0)
 
     def kernel(q_ref, qlen_ref, t_ref, tlen_ref, score_ref, tend_ref):

@@ -59,13 +59,51 @@ def _dp_scores_pallas(q, ql, t, tl):
     return scores[:B]
 
 
+_BAND_Q = 64  # band-start quantization (lane-block granularity)
+
+
+def _extract_band(t, tl, ro, L: int, margin: int):
+    """Banded target extraction: per-pair window of the haplotype around the
+    read's expected diagonal (its mapped offset into the window).
+
+    The reference reaches the same economy through minimap2's seed-and-extend
+    (genotyper.cpp:89-191 builds per-haplotype seed indexes); here the mapper
+    -provided offset IS the seed, and the band is extracted with a chain of
+    lane-block selects (XLA per-row gathers are ~30x slower on TPU, measured).
+
+    t [B, LH] u8, tl [B] i32, ro [B] i32 (expected target start of the read)
+    -> (t_band [B, Lb], tl_band [B], used) with Lb = roundup(L+2*margin, 128).
+    """
+    B, LH = t.shape
+    Lb = -(-(L + 2 * margin) // 128) * 128
+    if LH <= Lb:
+        return t, tl, False
+    max_blk = (LH - Lb) // _BAND_Q
+    sblk = jnp.clip((ro - margin) // _BAND_Q, 0, max_blk)
+    out = jnp.zeros((B, Lb), t.dtype)
+    for k in range(max_blk + 1):
+        out = jnp.where(
+            (sblk == k)[:, None],
+            jax.lax.slice_in_dim(t, k * _BAND_Q, k * _BAND_Q + Lb, axis=1),
+            out,
+        )
+    tl_band = jnp.clip(tl - sblk * _BAND_Q, 0, Lb)
+    return out, tl_band, True
+
+
 def make_window_step(num_samples: int, num_alleles: int, params: AlignParams = READ_TO_HAP,
-                     dp_backend: str = "auto"):
+                     dp_backend: str = "auto", band_margin: int | None = None):
     """Build the jittable window-batch step function.
 
     dp_backend: 'pallas' (Mosaic kernel — TPU only), 'scan' (XLA lax.scan
     engine — any backend), or 'auto' (pallas on TPU when params fit the
     kernel's fitting single-affine mode, else scan).
+
+    band_margin: when set, the step takes an extra read_offset [W, R] input
+    (each read's expected start inside the window) and runs the DP over a
+    banded target window of roundup(L+2*margin, 128) columns instead of the
+    full haplotype — exact whenever the optimal path stays inside the band
+    (soft-clips/indel drift up to ~margin bp).
     """
     align = _make_align(params, with_dirs=False)
 
@@ -76,7 +114,8 @@ def make_window_step(num_samples: int, num_alleles: int, params: AlignParams = R
             return _pallas_ok(params) and jax.default_backend() in ("tpu", "axon")
         return False
 
-    def step(reads, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele):
+    def step(reads, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele,
+             read_offset=None):
         W, R, L = reads.shape
         H, LH = haps.shape[1], haps.shape[2]
 
@@ -85,11 +124,18 @@ def make_window_step(num_samples: int, num_alleles: int, params: AlignParams = R
         ql = jnp.broadcast_to(read_lens[:, :, None], (W, R, H)).reshape(-1)
         t = jnp.broadcast_to(haps[:, None, :, :], (W, R, H, LH)).reshape(-1, LH)
         tl = jnp.broadcast_to(hap_lens[:, None, :], (W, R, H)).reshape(-1)
+        tl = tl.astype(jnp.int32)
+
+        if band_margin is not None and read_offset is not None:
+            ro = jnp.broadcast_to(
+                read_offset.astype(jnp.int32)[:, :, None], (W, R, H)
+            ).reshape(-1)
+            t, tl, _ = _extract_band(t, tl, ro, L, band_margin)
 
         if _use_pallas():
             scores = _dp_scores_pallas(q, ql, t, tl)
         else:
-            scores, _t_end = align(q, ql.astype(jnp.int32), t, tl.astype(jnp.int32))
+            scores, _t_end = align(q, ql.astype(jnp.int32), t, tl)
         scores = scores.reshape(W, R, H)
 
         # allele assignment: best haplotype per read (mask invalid reads)
@@ -141,12 +187,14 @@ def synth_window_batch(
         pos = LH // 2 + h
         haps[:, h, pos] = (haps[:, h, pos] + 1) % 4
     reads = np.zeros((W, R, L), dtype=np.uint8)
+    read_offset = np.zeros((W, R), dtype=np.int32)
     read_sample = rng.integers(0, num_samples, (W, R)).astype(np.int32)
     src_hap = rng.integers(0, 2, (W, R)).astype(np.int32)  # REF or first ALT
     for w in range(W):
         for r in range(R):
             start = int(rng.integers(0, LH - L))
             reads[w, r] = haps[w, src_hap[w, r], start : start + L]
+            read_offset[w, r] = start
     read_lens = np.full((W, R), L, dtype=np.int32)
     hap_lens = np.full((W, H), LH, dtype=np.int32)
     hap_allele = np.minimum(np.arange(H), 1)[None, :].repeat(W, axis=0).astype(np.int32)
@@ -159,4 +207,5 @@ def synth_window_batch(
         haps=jnp.asarray(haps),
         hap_lens=jnp.asarray(hap_lens),
         hap_allele=jnp.asarray(hap_allele),
+        read_offset=jnp.asarray(read_offset),
     )

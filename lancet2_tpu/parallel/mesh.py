@@ -30,38 +30,37 @@ def make_mesh(devices=None, axis: str = "windows") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def make_sharded_window_step(mesh: Mesh, num_samples: int, num_alleles: int):
+def make_sharded_window_step(mesh: Mesh, num_samples: int, num_alleles: int,
+                             band_margin: int | None = None):
     """jit the window step with the batch axis sharded over the mesh.
 
     Returns (fn, shard_inputs) where shard_inputs places a host batch onto
     the mesh. The step also psums a global windows-processed counter across
     the mesh so the collective path compiles and runs over ICI.
     """
-    step = make_window_step(num_samples, num_alleles)
+    step = make_window_step(num_samples, num_alleles, band_margin=band_margin)
     axis = mesh.axis_names[0]
     batch_sharding = NamedSharding(mesh, P(axis))
+    keys = ["reads", "read_lens", "read_sample", "read_valid",
+            "haps", "hap_lens", "hap_allele"]
+    if band_margin is not None:
+        keys.append("read_offset")
 
-    def wrapped(reads, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele):
-        out = step(reads, read_lens, read_sample, read_valid, haps, hap_lens, hap_allele)
+    def wrapped(*args):
+        out = step(*args)
         # scalar run-stat aggregation: total ALT depth over all shards.
         # jnp.sum over a sharded axis lowers to an XLA all-reduce over ICI.
         out["total_alt_depth"] = jnp.sum(out["allele_counts"][:, :, 1:])
-        out["total_windows"] = jnp.asarray(reads.shape[0], jnp.int32)
+        out["total_windows"] = jnp.asarray(args[0].shape[0], jnp.int32)
         return out
 
     fn = jax.jit(
         wrapped,
-        in_shardings=(batch_sharding,) * 7,
+        in_shardings=(batch_sharding,) * len(keys),
         out_shardings=None,
     )
 
     def shard_inputs(batch: dict):
-        return tuple(
-            jax.device_put(batch[k], batch_sharding)
-            for k in (
-                "reads", "read_lens", "read_sample", "read_valid",
-                "haps", "hap_lens", "hap_allele",
-            )
-        )
+        return tuple(jax.device_put(batch[k], batch_sharding) for k in keys)
 
     return fn, shard_inputs

@@ -75,3 +75,35 @@ class TestGraftEntry:
         )
         np.testing.assert_array_equal(np.asarray(single["pls"]), np.asarray(sharded["pls"]))
         assert int(sharded["total_windows"]) == 8
+
+
+class TestBandedWindowStep:
+    def test_banded_scores_match_full_dp(self):
+        """Banded DP == full DP whenever the optimal path fits in the band
+        (reads drawn straight from haplotypes with small indel drift)."""
+        import jax.numpy as jnp
+
+        from lancet2_tpu.ops.window_step import make_window_step, synth_window_batch
+
+        rng = np.random.default_rng(11)
+        batch = synth_window_batch(
+            rng, num_windows=3, reads_per_window=16, read_len=64,
+            num_haps=3, hap_len=384, num_samples=2,
+        )
+        # perturb offsets within the margin: band must still cover the path
+        ro = np.asarray(batch["read_offset"]) + rng.integers(-20, 21, (3, 16))
+        args = (
+            batch["reads"], batch["read_lens"], batch["read_sample"],
+            batch["read_valid"], batch["haps"], batch["hap_lens"],
+            batch["hap_allele"],
+        )
+        full = make_window_step(2, 2)(*args)
+        banded = make_window_step(2, 2, band_margin=64)(
+            *args, jnp.asarray(ro, jnp.int32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full["scores"]), np.asarray(banded["scores"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full["pls"]), np.asarray(banded["pls"])
+        )
