@@ -38,6 +38,15 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("-o", "--output", default=None, help="output .bai path "
                                                          "(default: <bam>.bai)")
 
+    cv = sub.add_parser("cram", help="convert BAM <-> CRAM 3.0 (native codec; "
+                                     "see hts/cram.py)")
+    cv.add_argument("input", help="input BAM or CRAM")
+    cv.add_argument("-r", "--reference", required=True,
+                    help="reference FASTA (CRAM is reference-based)")
+    cv.add_argument("-o", "--output", required=True, help="output .cram or .bam")
+    cv.add_argument("--codec", choices=["gzip", "rans4x8"], default="gzip",
+                    help="CRAM block compression (default gzip)")
+
     pl = sub.add_parser("pipeline", help="run the variant calling pipeline")
 
     # sample inputs
@@ -198,7 +207,8 @@ def run_pipeline(args, command_line: str) -> dict:
     if not skip_active:
         from lancet2_tpu.hts.bam import open_bam
 
-        if not has_md_tag(open_bam(samples[0].path, stream=args.stream_bam)):
+        if not has_md_tag(open_bam(samples[0].path, stream=args.stream_bam,
+                                   ref=args.reference)):
             LOG.warning("no MD tags found; disabling active-region prescan")
             skip_active = True
 
@@ -272,7 +282,7 @@ def run_pipeline(args, command_line: str) -> dict:
         graph=graph_params,
         collector=CollectorParams(
             max_sample_cov=args.max_sample_cov, extract_pairs=args.extract_pairs,
-            stream_bam=args.stream_bam,
+            stream_bam=args.stream_bam, ref_path=args.reference,
         ),
         skip_active_region=skip_active,
         gc_fraction=args.genome_gc_bias,
@@ -382,6 +392,24 @@ def main(argv=None) -> int:
             print(f"error: {args.bam}: not a BAM file ({exc})", file=sys.stderr)
             return 1
         print(out)
+        return 0
+    if args.command == "cram":
+        from lancet2_tpu.hts.bam import BamWriter, _is_cram
+        from lancet2_tpu.hts.cram import CramReader, M_GZIP, M_RANS4x8, bam_to_cram
+
+        method = M_RANS4x8 if args.codec == "rans4x8" else M_GZIP
+        if _is_cram(args.input):
+            reader = CramReader(args.input, args.reference)
+            sample = reader.sample_name
+            w = BamWriter(args.output, reader.references, sample_name=sample)
+            n = 0
+            for rec in reader.all_records():
+                w.add(rec)
+                n += 1
+            w.close()
+        else:
+            n = bam_to_cram(args.input, args.output, args.reference, method=method)
+        print(f"{args.output}: {n} records")
         return 0
     return 1
 

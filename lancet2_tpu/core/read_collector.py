@@ -34,6 +34,8 @@ class CollectorParams:
     # index-backed streaming readers (BAI) instead of whole-file decode —
     # bounded memory on multi-GB inputs (reference streams via htslib BAI)
     stream_bam: bool = False
+    # reference FASTA path: required to decode reference-based CRAM inputs
+    ref_path: str | None = None
 
 
 def _passes_profile_filters(rec) -> bool:
@@ -45,7 +47,8 @@ class ReadCollector:
         self.params = params
         self.samples = samples
         self.readers: dict[str, BamReader] = {
-            s.path: open_bam(s.path, stream=params.stream_bam) for s in samples
+            s.path: open_bam(s.path, stream=params.stream_bam, ref=params.ref_path)
+            for s in samples
         }
 
     @property

@@ -223,9 +223,19 @@ def parse_bam_header(data) -> tuple[str, list[tuple[str, int]], int]:
     return header_text, references, off
 
 
+def _is_cram(path: str) -> bool:
+    with open(path, "rb") as fh:
+        return fh.read(4) == b"CRAM"
+
+
 def read_bam_header(path: str) -> tuple[str, list[tuple[str, int]]]:
     """Header text + reference list by inflating only the leading BGZF
-    blocks (cheap for multi-GB inputs; whole-file decode not required)."""
+    blocks (cheap for multi-GB inputs; whole-file decode not required).
+    Dispatches to the CRAM header parser for CRAM inputs."""
+    if _is_cram(path):
+        from lancet2_tpu.hts.cram import read_cram_header
+
+        return read_cram_header(path)
     buf = bytearray()
     with open(path, "rb") as fh:
         while True:
@@ -240,9 +250,15 @@ def read_bam_header(path: str) -> tuple[str, list[tuple[str, int]]]:
                 continue  # need more blocks
 
 
-def open_bam(path: str, stream: bool = False):
-    """Factory: in-memory BamReader (default) or index-backed streaming
-    reader (requires/creates a .bai; see hts/bai.py)."""
+def open_bam(path: str, stream: bool = False, ref: str | None = None):
+    """Factory: in-memory BamReader (default), index-backed streaming
+    reader (requires/creates a .bai; see hts/bai.py), or CramReader for
+    CRAM inputs (detected by magic; needs `ref` for reference-based
+    records — the same -r FASTA passed to the pipeline)."""
+    if _is_cram(path):
+        from lancet2_tpu.hts.cram import CramReader
+
+        return CramReader(path, ref)
     if stream:
         from lancet2_tpu.hts.bai import BamStreamReader
 
