@@ -32,11 +32,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sub = parser.add_subparsers(dest="command", required=True)
 
-    ix = sub.add_parser("index", help="build a .bai index for a BAM "
-                                      "(htslib-compatible; see hts/bai.py)")
+    ix = sub.add_parser("index", help="build a .bai/.csi index for a BAM "
+                                      "(htslib-compatible; see hts/bai.py, hts/csi.py)")
     ix.add_argument("bam", help="coordinate-sorted BAM file")
-    ix.add_argument("-o", "--output", default=None, help="output .bai path "
-                                                         "(default: <bam>.bai)")
+    ix.add_argument("-o", "--output", default=None, help="output index path "
+                                                         "(default: <bam>.bai/.csi)")
+    ix.add_argument("--csi", action="store_true",
+                    help="CSI binning (contigs >= 2^29 bp) instead of BAI")
+    ix.add_argument("--min-shift", type=int, default=14,
+                    help="CSI minimum interval shift (default 14)")
+    ix.add_argument("--depth", type=int, default=5,
+                    help="CSI binning depth (default 5; 6 covers 4 Gbp contigs)")
 
     cv = sub.add_parser("cram", help="convert BAM <-> CRAM 3.0 (native codec; "
                                      "see hts/cram.py)")
@@ -129,6 +135,15 @@ def build_parser() -> argparse.ArgumentParser:
 def run_pipeline(args, command_line: str) -> dict:
     configure(args.verbose)
     t0 = time.monotonic()
+
+    # upfront cloud-URI preflight: fail at startup, never at final flush
+    # (reference: cli/pipeline_runner.cpp:244-257, hts/uri_utils.*)
+    from lancet2_tpu.hts.uri import validate_cloud_access
+
+    validate_cloud_access(
+        args.normal + args.tumor + [s.split(":")[0] for s in args.sample]
+        + [args.reference], mode="read")
+    validate_cloud_access([args.out_vcfgz], mode="write")
 
     # native-crash forensics: on SIGSEGV/SIGABRT dump all thread stacks —
     # together with the executor's crash slots this reproduces the
@@ -382,9 +397,14 @@ def main(argv=None) -> int:
     if args.command == "index":
         from lancet2_tpu.hts.bai import build_bai
         from lancet2_tpu.hts.bgzf import BgzfError
+        from lancet2_tpu.hts.csi import build_csi
 
         try:
-            out = build_bai(args.bam, args.output)
+            if args.csi:
+                out = build_csi(args.bam, args.output,
+                                min_shift=args.min_shift, depth=args.depth)
+            else:
+                out = build_bai(args.bam, args.output)
         except FileNotFoundError:
             print(f"error: no such file: {args.bam}", file=sys.stderr)
             return 1

@@ -352,7 +352,12 @@ class BamStreamReader:
         bai_path = bai_path or _find_bai(path)
         if bai_path is None:
             bai_path = build_bai(path)
-        self.index = BaiIndex.load(bai_path)
+        if bai_path.endswith(".csi"):
+            from lancet2_tpu.hts.csi import CsiIndex
+
+            self.index = CsiIndex.load(bai_path)
+        else:
+            self.index = BaiIndex.load(bai_path)
 
     def ref_name(self, ref_id: int) -> str:
         return self.references[ref_id][0] if 0 <= ref_id < len(self.references) else "*"
@@ -399,7 +404,9 @@ class BamStreamReader:
 
 
 def _find_bai(bam_path: str) -> str | None:
-    for cand in (bam_path + ".bai", os.path.splitext(bam_path)[0] + ".bai"):
+    stem = os.path.splitext(bam_path)[0]
+    for cand in (bam_path + ".bai", stem + ".bai",
+                 bam_path + ".csi", stem + ".csi"):
         if os.path.exists(cand):
             return cand
     return None

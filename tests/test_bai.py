@@ -130,3 +130,62 @@ class TestPipelineWithStreaming:
                 return [l for l in fh if not l.startswith("#")]
 
         assert records(out_str) == records(out_mem)
+
+
+class TestCsiIndex:
+    def test_reg2bin_csi_matches_bai_at_default_params(self):
+        from lancet2_tpu.hts.bai import reg2bin, reg2bins
+        from lancet2_tpu.hts.csi import reg2bin_csi, reg2bins_csi
+
+        rng = np.random.default_rng(5)
+        for _ in range(200):
+            beg = int(rng.integers(0, 1 << 28))
+            end = beg + int(rng.integers(1, 10000))
+            assert reg2bin_csi(beg, end) == reg2bin(beg, end)
+            assert sorted(set(reg2bins_csi(beg, end))) == sorted(set(reg2bins(beg, end)))
+
+    def test_csi_stream_fetch_matches_memory_reader(self, tmp_path):
+        import shutil
+
+        from lancet2_tpu.hts.bai import BamStreamReader
+        from lancet2_tpu.hts.bam import BamReader
+        from lancet2_tpu.hts.csi import CsiIndex, build_csi
+        from lancet2_tpu.utils.simulate import (
+            Variant, make_tumor_normal_fixture, random_reference)
+
+        d = str(tmp_path)
+        ref = random_reference(4000, seed=6)
+        make_tumor_normal_fixture(
+            d, ref_len=4000,
+            somatic=[Variant(pos0=2000, ref=ref[2000],
+                             alt="T" if ref[2000] != "T" else "C", vaf=0.5)],
+            normal_cov=15, tumor_cov=15, seed=6)
+        bam = f"{d}/tumor.bam"
+        csi = build_csi(bam, depth=6, min_shift=14)
+        assert csi.endswith(".csi")
+        idx = CsiIndex.load(csi)
+        assert idx.depth == 6 and idx.min_shift == 14
+
+        mem = BamReader(bam, use_native=False)
+        stream = BamStreamReader(bam)  # picks up the .csi via _find_bai
+        assert type(stream.index).__name__ == "CsiIndex"
+        for lo, hi in ((1, 4000), (1900, 2100), (3500, 4000), (1, 50)):
+            a = [(r.qname, r.pos0) for r in mem.fetch("chrS", lo, hi)]
+            b = [(r.qname, r.pos0) for r in stream.fetch("chrS", lo, hi)]
+            assert a == b, (lo, hi)
+
+    def test_cli_index_csi(self, tmp_path):
+        from lancet2_tpu.cli.main import main
+        from lancet2_tpu.utils.simulate import (
+            Variant, make_tumor_normal_fixture, random_reference)
+
+        d = str(tmp_path)
+        ref = random_reference(3000, seed=7)
+        make_tumor_normal_fixture(
+            d, ref_len=3000,
+            somatic=[Variant(pos0=1500, ref=ref[1500],
+                             alt="G" if ref[1500] != "G" else "A", vaf=0.5)],
+            normal_cov=10, tumor_cov=10, seed=7)
+        assert main(["index", f"{d}/normal.bam", "--csi", "--depth", "6"]) == 0
+        import os
+        assert os.path.exists(f"{d}/normal.bam.csi")

@@ -204,3 +204,26 @@ class TestSimulator:
         fx = make_tumor_normal_fixture(str(tmp_path), ref_len=2000)
         r = BamReader(fx["normal"])
         assert all("MD" in rec.tags for rec in r.all_records()[:50])
+
+
+class TestCloudUri:
+    def test_detection_and_shape(self):
+        from lancet2_tpu.hts.uri import is_cloud_uri, validate_uri_shape
+
+        assert is_cloud_uri("s3://bucket/key.bam")
+        assert is_cloud_uri("gs://b/k")
+        assert not is_cloud_uri("/data/x.bam")
+        assert not is_cloud_uri("relative/path.bam")
+        validate_uri_shape("s3://bucket/key.bam")  # ok
+        with pytest.raises(ValueError):
+            validate_uri_shape("s3://bucketonly")
+        with pytest.raises(ValueError):
+            validate_uri_shape("gs:///nokey")
+
+    def test_pipeline_fails_fast_on_cloud_uri(self, tmp_path):
+        from lancet2_tpu.cli.main import main
+
+        with pytest.raises(SystemExit) as e:
+            main(["pipeline", "-n", "s3://bucket/n.bam", "-r", "ref.fa",
+                  "-o", str(tmp_path / "o.vcf.gz")])
+        assert "cloud URIs" in str(e.value) or "remote" in str(e.value)
