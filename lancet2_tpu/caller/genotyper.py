@@ -46,6 +46,9 @@ REF_HAP_IDX = 0
 _PAIR_CHUNK = 512
 
 
+_TARGET_BUCKETS = (64, 128, 256, 512, 768, 1024, 1280, 1536, 2048, 4096, 8192)
+
+
 def _bucket(n: int, buckets=(64, 128, 256, 512, 1024, 2048, 4096, 8192)) -> int:
     """Round a length up to a fixed bucket so jitted shapes are reused."""
     for b in buckets:
@@ -123,7 +126,7 @@ class Genotyper:
             hi = min(lo + _PAIR_CHUNK, len(pair_q))
             n_pairs = hi - lo
             bq = _bucket(max(len(s) for s in pair_q[lo:hi]), (160, 320, 640, 1280))
-            bt = _bucket(max(len(s) for s in pair_t[lo:hi]))
+            bt = _bucket(max(len(s) for s in pair_t[lo:hi]), _TARGET_BUCKETS)
             # bucket list must cover the largest pair chunk: an exact-n
             # fallback would mint a fresh XLA shape per run (never cached)
             bb = _bucket(n_pairs, (64, 128, 256, 512, 1024, 2048, 4096))
@@ -237,7 +240,7 @@ class Genotyper:
                 from lancet2_tpu.ops.affine_dp_jax import align_scores_jax
 
                 bq = _bucket(max(len(s) for s in pair_q[lo:hi]), (160, 320, 640, 1280))
-                bt = _bucket(max(len(s) for s in pair_t[lo:hi]))
+                bt = _bucket(max(len(s) for s in pair_t[lo:hi]), _TARGET_BUCKETS)
                 bb = _bucket(n_pairs, (64, 128, 256, 512))
                 qs, qlens = _pad(pair_q[lo:hi] + [pair_q[lo]] * (bb - n_pairs), bq)
                 ts, tlens = _pad(pair_t[lo:hi] + [pair_t[lo]] * (bb - n_pairs), bt)
@@ -275,7 +278,7 @@ class Genotyper:
                 # across windows (pair count, read length, haplotype length)
                 n_pairs = hi - lo
                 bq = _bucket(max(len(s) for s in pair_q[lo:hi]), (160, 320, 640, 1280))
-                bt = _bucket(max(len(s) for s in pair_t[lo:hi]))
+                bt = _bucket(max(len(s) for s in pair_t[lo:hi]), _TARGET_BUCKETS)
                 bb = _bucket(n_pairs, (64, 128, 256, 512))
                 qs, qlens = _pad(pair_q[lo:hi] + [pair_q[lo]] * (bb - n_pairs), bq)
                 ts, tlens = _pad(pair_t[lo:hi] + [pair_t[lo]] * (bb - n_pairs), bt)

@@ -83,10 +83,10 @@ class BatchPipelineExecutor:
         num_done = 0
         failures: list = []
 
-        for lo in range(0, n, self.window_batch):
-            batch = self.windows[lo : lo + self.window_batch]
-
-            # ---- phase A: prepare in worker threads ----------------------
+        def prepare_batch(batch) -> list:
+            """Phase A for one batch: gate/collect/assemble/extract in
+            worker threads. Runs concurrently with the previous batch's
+            device phase (B) — host prep hides under device compute."""
             prepared_items: list[PreparedWindow | None] = [None] * len(batch)
             work_q: queue.Queue = queue.Queue()
             for bi, w in enumerate(batch):
@@ -119,11 +119,34 @@ class BatchPipelineExecutor:
                 t.start()
             for t in threads:
                 t.join()
+            return prepared_items
+
+        batch_los = list(range(0, n, self.window_batch))
+        next_result: dict = {}
+
+        def prefetch(lo: int) -> threading.Thread:
+            batch = self.windows[lo : lo + self.window_batch]
+
+            def run():
+                next_result[lo] = prepare_batch(batch)
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            return t
+
+        pending = prefetch(batch_los[0])
+        for bidx, lo in enumerate(batch_los):
+            batch = self.windows[lo : lo + self.window_batch]
+            pending.join()
+            prepared_items = next_result.pop(lo)
             if failures:
                 window, exc, tb = failures[0]
                 raise RuntimeError(
                     f"prepare failed on window {window.to_samtools()}: {exc}\n{tb}"
                 )
+            # overlap: next batch's host prep runs while this batch is on device
+            if bidx + 1 < len(batch_los):
+                pending = prefetch(batch_los[bidx + 1])
 
             # ---- phase B: fused evidence DP over the whole batch ---------
             from lancet2_tpu.base.dna import encode
