@@ -138,10 +138,11 @@ def run_pipeline(args, command_line: str) -> dict:
 
     # upfront cloud-URI preflight: fail at startup, never at final flush
     # (reference: cli/pipeline_runner.cpp:244-257, hts/uri_utils.*)
+    from lancet2_tpu.core.sample_info import parse_sample_spec
     from lancet2_tpu.hts.uri import validate_cloud_access
 
     validate_cloud_access(
-        args.normal + args.tumor + [s.split(":")[0] for s in args.sample]
+        args.normal + args.tumor + [parse_sample_spec(s)[0] for s in args.sample]
         + [args.reference], mode="read")
     validate_cloud_access([args.out_vcfgz], mode="write")
 

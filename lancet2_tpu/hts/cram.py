@@ -665,6 +665,17 @@ class _SliceDecoder:
     def _bytes(self, key: str) -> bytes:
         return self.readers[key].read_bytes(self.core, self.sub_readers.get(key, {}))
 
+    def _read_quals(self, rl: int):
+        """QS series for one record: fast path for EXTERNAL (bulk slice),
+        per-byte decode for any other spec-valid codec."""
+        import numpy as np
+
+        qs = self.readers["QS"]
+        if qs.enc.codec == E_EXTERNAL:
+            qraw = qs._take(qs.enc.params["cid"], rl)
+            return np.frombuffer(qraw, np.uint8).copy()
+        return np.array([qs.read_byte(self.core) for _ in range(rl)], np.uint8)
+
     def decode_records(self) -> list[BamRecord]:
         recs: list[BamRecord] = []
         mate_fixups: list[tuple[int, int]] = []  # (rec idx, nf distance)
@@ -782,9 +793,7 @@ class _SliceDecoder:
         mq = self._int("MQ")
         quals = np.full(rl, 255, np.uint8)
         if cf & 1:
-            qraw = self.readers["QS"]._take(
-                self.readers["QS"].enc.params["cid"], rl)
-            quals = np.frombuffer(qraw, np.uint8).copy()
+            quals = self._read_quals(rl)
 
         seq, cigar = self._reconstruct(rid, ap, rl, feats, quals)
         return BamRecord(qname, bf & 0xFFFF, rid, ap - 1, mq, cigar,
@@ -879,9 +888,7 @@ class _SliceDecoder:
         bases = bytes(self._byte("BA") for _ in range(rl))
         quals = np.full(rl, 255, np.uint8)
         if cf & 1:
-            qraw = self.readers["QS"]._take(
-                self.readers["QS"].enc.params["cid"], rl)
-            quals = np.frombuffer(qraw, np.uint8).copy()
+            quals = self._read_quals(rl)
         return BamRecord(qname, bf & 0xFFFF, rid, ap - 1, 0, [],
                          -1, -1, 0, bases.decode(), quals, {})
 

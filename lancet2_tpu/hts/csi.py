@@ -172,6 +172,11 @@ def build_csi(bam_path: str, out_path: str | None = None,
 
     _header, references, off = parse_bam_header(data)
     idx = CsiIndex(len(references), min_shift, depth)
+    # per-(1<<min_shift)-window min voffset over the FULL [pos0, end0) span of
+    # every record (htslib semantics, matching bai.build_bai) — a record that
+    # crosses a window boundary must lower the loffset of every window it
+    # touches, or ancestor-bin chunks get wrongly pruned in chunks_for_region.
+    linear_min: list[dict[int, int]] = [dict() for _ in range(len(references))]
 
     n = len(data)
     while off + 4 <= n:
@@ -184,22 +189,41 @@ def build_csi(bam_path: str, out_path: str | None = None,
         b = reg2bin_csi(pos0, end0, min_shift, depth)
         ent = idx.bins[ref_id].get(b)
         if ent is None:
-            idx.bins[ref_id][b] = (vbeg, [(vbeg, vend)])
+            idx.bins[ref_id][b] = (0, [(vbeg, vend)])
         else:
             loff, blist = ent
             if blist and (vbeg >> 16) <= (blist[-1][1] >> 16):
                 blist[-1] = (blist[-1][0], vend)
             else:
                 blist.append((vbeg, vend))
-            idx.bins[ref_id][b] = (min(loff, vbeg), blist)
-    # propagate loffsets up so ancestor bins prune correctly
-    for bindict in idx.bins:
-        for b in sorted(bindict, reverse=True):
-            if b == 0:
-                continue
-            parent = (b - 1) >> 3
-            if parent in bindict:
-                ploff, pchunks = bindict[parent]
-                bindict[parent] = (min(ploff, bindict[b][0]), pchunks)
+        lmin = linear_min[ref_id]
+        for w in range(pos0 >> min_shift, ((end0 - 1) >> min_shift) + 1):
+            if w not in lmin or vbeg < lmin[w]:
+                lmin[w] = vbeg
+
+    # seed each bin's loffset from the back-filled window map at the bin's
+    # interval start (the value the query's _min_offset walk will read)
+    t_of_level = []
+    t = 0
+    for level in range(depth + 1):
+        t_of_level.append(t)
+        t += 1 << (level * 3)
+    for rid, bindict in enumerate(idx.bins):
+        lmin = linear_min[rid]
+        if not lmin:
+            continue
+        size = max(lmin) + 1
+        filled = [0] * size
+        fill = 0
+        for w in range(size):
+            fill = lmin.get(w, fill)  # back-fill gaps with the prior offset
+            filled[w] = fill
+        for b, (_, blist) in bindict.items():
+            level = depth
+            while level > 0 and b < t_of_level[level]:
+                level -= 1
+            start_win = (b - t_of_level[level]) << ((depth - level) * 3)
+            loff = filled[min(start_win, size - 1)]
+            bindict[b] = (loff, blist)
     idx.save(out_path)
     return out_path

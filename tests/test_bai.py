@@ -189,3 +189,39 @@ class TestCsiIndex:
         assert main(["index", f"{d}/normal.bam", "--csi", "--depth", "6"]) == 0
         import os
         assert os.path.exists(f"{d}/normal.bam.csi")
+
+
+class TestCsiBoundarySpanningRead:
+    def test_long_read_crossing_16kb_bin_boundary_is_fetched(self, tmp_path):
+        """Regression: a record spanning a (1<<min_shift) window boundary
+        lands in an ancestor bin; build_csi must seed every bin's loffset
+        from the full-span window map (htslib semantics, like build_bai) or
+        the 'vend > min_off' prune in chunks_for_region drops it."""
+        from lancet2_tpu.hts.bam import BamRecord, BamWriter
+        from lancet2_tpu.hts.csi import build_csi
+
+        bam = str(tmp_path / "t.bam")
+        w = BamWriter(bam, [("chr1", 40000)], sample_name="S")
+        rng = np.random.default_rng(0)
+
+        def rec(name, pos0, length):
+            seq = "".join("ACGT"[i] for i in rng.integers(0, 4, length))
+            return BamRecord(name, 0, 0, pos0, 60, [(0, length)], -1, -1, 0,
+                             seq, np.full(length, 30, np.uint8), {})
+
+        for i in range(20):
+            w.add(rec(f"a{i}", 100 + i * 37, 100))
+        w.add(rec("long", 15500, 2000))  # ends at 17500: crosses 16384
+        for i in range(20):
+            w.add(rec(f"b{i}", 16400 + i * 41, 100))
+        w.close()
+
+        build_csi(bam, min_shift=14, depth=6)
+        mem = BamReader(bam, use_native=False)
+        stream = BamStreamReader(bam)
+        assert type(stream.index).__name__ == "CsiIndex"
+        for lo, hi in ((16401, 17000), (1, 40000), (15000, 16000), (17400, 17600)):
+            a = sorted(r.qname for r in mem.fetch("chr1", lo, hi))
+            b = sorted(r.qname for r in stream.fetch("chr1", lo, hi))
+            assert a == b, (lo, hi, set(a) ^ set(b))
+        assert "long" in [r.qname for r in stream.fetch("chr1", 16401, 17000)]
