@@ -30,15 +30,27 @@ def _mix64(x: np.ndarray | np.uint64) -> np.ndarray | np.uint64:
     return x
 
 
+_M64 = (1 << 64) - 1
+
+
 def hash_str64(data: str | bytes) -> int:
-    """FNV-1a-64 + avalanche of a byte string. Deterministic across runs."""
+    """FNV-1a-64 + avalanche of a byte string. Deterministic across runs.
+
+    Pure-int implementation (no numpy scalar ops — this is called once per
+    read qname and profiles hot); bit-identical to the vectorized formulas.
+    """
     if isinstance(data, str):
         data = data.encode("ascii")
-    with np.errstate(over="ignore"):
-        h = _FNV_OFFSET
-        for b in np.frombuffer(data, dtype=np.uint8):
-            h = (h ^ np.uint64(b)) * _FNV_PRIME
-        return int(_mix64(h))
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & _M64
+    # splitmix64 avalanche (_mix64)
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & _M64
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & _M64
+    h ^= h >> 31
+    return h
 
 
 def hash_u64_array(words: np.ndarray) -> np.ndarray:

@@ -1,0 +1,178 @@
+"""ctypes bindings for the native assembly core (native/assembly_core.cpp).
+
+Two entry points, both bit-exact ports of their Python twins (tested in
+tests/test_native_core.py):
+
+  kmer_pass(...)     the vectorized middle of cbdg.graph.Graph._build_graph
+                     (canonicalize + hash + unique + MateMer dedup counts +
+                     expected-error filter + survivor edges)
+  align_batch(...)   ops.affine_dp.align_batch_numpy + traceback_batch in one
+                     call (dual-affine DP with CIGAR traceback)
+
+Falls back silently (returns None / available() False) when the toolchain is
+missing — callers keep their numpy paths as the correctness baseline.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libassembly_core.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "assembly_core.cpp")
+
+_lib = None
+_load_failed = False
+
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _ensure_lib():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+                 _SRC_PATH, "-o", _LIB_PATH],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.l2t_kmer_pass.restype = ctypes.c_int64
+        lib.l2t_kmer_pass.argtypes = [
+            _u8p, _i64p, _u8p,                    # codes, offsets, quals
+            _u8p, _u8p, _i32p, _u8p, _u64p,       # labels, is_read, sample_idx, tags, qhash
+            _f64p,                                 # err_table
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint8,
+            _u64p, _i64p, _u8p, _u8p,             # occ_ids, u_first, u_sign, u_label
+            _i64p, _i64p, _u8p,                   # u_counts, u_role, u_survives
+            _u64p, _u64p, _i64p,                  # e_src, e_dst, out_n_edges
+        ]
+        lib.l2t_align_batch.restype = ctypes.c_int64
+        lib.l2t_align_batch.argtypes = [
+            _u8p, _i64p, ctypes.c_int64, ctypes.c_int64,
+            _u8p, _i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            _i64p, _i64p, _i64p,
+            _i32p, _i32p, ctypes.c_int64, _i64p,
+        ]
+        _lib = lib
+    except Exception:
+        _load_failed = True
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _ensure_lib() is not None
+
+
+def kmer_pass(codes, offsets, quals, labels, is_read, sample_idx, tags, qhash,
+              err_table, k: int, num_samples: int, min_node_cov: int,
+              label_case: int):
+    """Run the native k-mer pass. Returns None when native is unavailable,
+    else a dict of numpy arrays (see assembly_core.cpp for field docs)."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n_seqs = len(offsets) - 1
+    lens = np.diff(offsets)
+    n_occ = int(np.maximum(lens - k + 1, 0).sum())
+    if n_occ == 0:
+        return None
+
+    occ_ids = np.empty(n_occ, np.uint64)
+    u_first = np.empty(n_occ, np.int64)
+    u_sign = np.empty(n_occ, np.uint8)
+    u_label = np.empty(n_occ, np.uint8)
+    u_counts = np.empty(n_occ * num_samples, np.int64)
+    u_role = np.empty(n_occ * 2, np.int64)
+    u_survives = np.empty(n_occ, np.uint8)
+    e_src = np.empty(n_occ, np.uint64)
+    e_dst = np.empty(n_occ, np.uint64)
+    n_edges = np.zeros(1, np.int64)
+
+    n_uniq = lib.l2t_kmer_pass(
+        np.ascontiguousarray(codes, np.uint8), offsets,
+        np.ascontiguousarray(quals, np.uint8),
+        np.ascontiguousarray(labels, np.uint8),
+        np.ascontiguousarray(is_read, np.uint8),
+        np.ascontiguousarray(sample_idx, np.int32),
+        np.ascontiguousarray(tags, np.uint8),
+        np.ascontiguousarray(qhash, np.uint64),
+        np.ascontiguousarray(err_table, np.float64),
+        n_seqs, k, num_samples, min_node_cov, label_case,
+        occ_ids, u_first, u_sign, u_label, u_counts, u_role, u_survives,
+        e_src, e_dst, n_edges,
+    )
+    if n_uniq < 0:
+        return None
+    ne = int(n_edges[0])
+    return {
+        "occ_ids": occ_ids,
+        "uniq_first": u_first[:n_uniq],
+        "uniq_sign": u_sign[:n_uniq],
+        "uniq_label": u_label[:n_uniq],
+        "counts": u_counts[: n_uniq * num_samples].reshape(n_uniq, num_samples),
+        "role": u_role[: n_uniq * 2].reshape(n_uniq, 2),
+        "survives": u_survives[:n_uniq].astype(bool),
+        "edge_src": e_src[:ne],
+        "edge_dst": e_dst[:ne],
+    }
+
+
+def align_batch(queries, q_lens, targets, t_lens, p) -> list[dict] | None:
+    """Native twin of ops.affine_dp.align_and_traceback. Returns None when
+    native is unavailable."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    queries = np.ascontiguousarray(queries, np.uint8)
+    targets = np.ascontiguousarray(targets, np.uint8)
+    q_lens = np.ascontiguousarray(q_lens, np.int64)
+    t_lens = np.ascontiguousarray(t_lens, np.int64)
+    B, Lq = queries.shape
+    Lt = targets.shape[1]
+    max_cigar = Lq + Lt + 2
+    scores = np.empty(B, np.int64)
+    tstarts = np.empty(B, np.int64)
+    tends = np.empty(B, np.int64)
+    cigar_ops = np.empty((B, max_cigar), np.int32)
+    cigar_lens = np.empty((B, max_cigar), np.int32)
+    n_cigars = np.empty(B, np.int64)
+    rc = lib.l2t_align_batch(
+        queries, q_lens, B, Lq, targets, t_lens, Lt,
+        p.match, p.mismatch, p.gap_open1, p.gap_extend1,
+        p.gap_open2, p.gap_extend2, int(p.dual), int(p.free_target_ends),
+        scores, tstarts, tends, cigar_ops, cigar_lens, max_cigar, n_cigars,
+    )
+    if rc != 0:
+        return None
+    results = []
+    for b in range(B):
+        nc = int(n_cigars[b])
+        cigar = [(int(cigar_ops[b, c]), int(cigar_lens[b, c])) for c in range(nc)]
+        results.append(
+            {
+                "score": int(scores[b]),
+                "t_end": int(tends[b]),
+                "t_start": int(tstarts[b]),
+                "cigar": cigar,
+            }
+        )
+    return results

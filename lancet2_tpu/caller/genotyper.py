@@ -82,8 +82,21 @@ class Genotyper:
     # the cross-window batch executor can fuse phase-2 device dispatches:
     #   build_evidence_pairs -> run_evidence_pairs -> assemble_evidence
     # ------------------------------------------------------------------
-    def build_evidence_pairs(self, hap_codes, reads, variants):
-        """Phase 1: enumerate (read, hap, region-chunk) pairs for one window."""
+    def build_evidence_pairs(self, hap_codes, reads, variants,
+                             anchor_pos1: int | None = None,
+                             band_margin: int | None = None):
+        """Phase 1: enumerate (read, hap, region-chunk) pairs for one window.
+
+        With band_margin set (and anchor_pos1 giving the haplotypes' genomic
+        start), each pair's target is the haplotype BAND around the read's
+        mapped diagonal — read_len + 2*margin columns instead of the full
+        haplotype. Exact whenever the optimal path stays inside the band;
+        reads whose true alignment lies outside their band score low and hit
+        the mapability gate, mirroring minimap2's no-hit behavior
+        (reference: caller/genotyper.cpp:376-411 seeds per-haplotype indexes
+        for the same economy). Regions and t_start/t_end stay in band
+        coordinates — all downstream comparisons are relative.
+        """
         from lancet2_tpu.ops.evidence_dp import R_MAX
 
         n_haps = len(hap_codes)
@@ -107,14 +120,31 @@ class Genotyper:
             hap_chunks.append(chunks)
 
         # build the pair list: (read, hap, chunk)
+        use_band = band_margin is not None and anchor_pos1 is not None
         pair_q, pair_qu, pair_t, pair_meta = [], [], [], []
         for r, read in enumerate(reads):
+            if use_band:
+                ro = read.start0 + 1 - anchor_pos1  # expected offset into hap
+                band_w = read.length + 2 * band_margin
             for h in range(n_haps):
+                hap = hap_codes[h]
                 for ci, (regions, vis) in enumerate(hap_chunks[h]):
+                    if use_band and len(hap) > band_w:
+                        bs = min(max(ro - band_margin, 0), len(hap) - band_w)
+                        band = hap[bs : bs + band_w]
+                        breg = regions.copy()
+                        active = breg[:, 1] > breg[:, 0]
+                        breg -= bs
+                        # clip to the band; fully-outside slots deactivate
+                        breg = np.clip(breg, 0, band_w)
+                        breg[~active] = 0
+                        pair_t.append(band)
+                        pair_meta.append((r, h, breg, vis))
+                    else:
+                        pair_t.append(hap)
+                        pair_meta.append((r, h, regions, vis))
                     pair_q.append(read.codes)
                     pair_qu.append(read.qual)
-                    pair_t.append(hap_codes[h])
-                    pair_meta.append((r, h, regions, vis))
         return pair_q, pair_qu, pair_t, pair_meta
 
     def run_evidence_pairs(self, pair_q, pair_qu, pair_t, pair_meta):

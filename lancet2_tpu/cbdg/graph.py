@@ -60,13 +60,16 @@ DEFAULT_MIN_ANCHOR_COV = 5
 DEFAULT_MIN_ANCHOR_LENGTH = 150
 
 
+_REV_KIND = (3, 1, 2, 0)
+
+
 class Edge(NamedTuple):
     src: int
     dst: int
     kind: int
 
     def mirror(self) -> "Edge":
-        return Edge(self.dst, self.src, rev_kind(self.kind))
+        return Edge(self.dst, self.src, _REV_KIND[self.kind])
 
     @property
     def is_self_loop(self) -> bool:
@@ -74,11 +77,11 @@ class Edge(NamedTuple):
 
     @property
     def src_sign(self) -> int:
-        return src_sign(self.kind)
+        return self.kind >> 1
 
     @property
     def dst_sign(self) -> int:
-        return dst_sign(self.kind)
+        return self.kind & 1
 
 
 class Node:
@@ -319,16 +322,22 @@ class Graph:
         num_samples = self.params.num_samples
 
         seqs: list[np.ndarray] = []
+        seq_quals: list[np.ndarray | None] = []
         seq_meta: list[tuple[int, int, int, int]] = []  # (label, sample_idx, tag, qhash)
         if len(ref_codes) >= k + 1:
             seqs.append(np.asarray(ref_codes, dtype=np.uint8))
+            seq_quals.append(None)
             seq_meta.append((LABEL_REFERENCE, -1, 0, 0))
         for read in reads:
             if not read.passes_aln_filters or len(read.codes) < k + 1:
                 continue
             seqs.append(read.codes)
+            seq_quals.append(read.qual)
             seq_meta.append((read.tag, read.sample_index, read.tag, read.qname_hash))
         if not seqs:
+            return
+
+        if self._build_graph_native(seqs, seq_quals, seq_meta, k, num_samples):
             return
 
         # K-merize every sequence; collect global occurrence arrays.
@@ -450,6 +459,92 @@ class Graph:
                 fwd = Edge(int(s_id), int(d_id), kind)
                 s_node.emplace_edge(fwd)
                 d_node.emplace_edge(fwd.mirror())
+
+    def _build_graph_native(self, seqs, seq_quals, seq_meta, k: int,
+                            num_samples: int) -> bool:
+        """Native C++ construction pass (native/assembly_core.cpp) — bit-exact
+        twin of the numpy path below (parity-tested in tests/test_native_core.py).
+        Returns False when the native library is unavailable."""
+        from lancet2_tpu.base import native_core
+
+        if not native_core.available():
+            return False
+        from lancet2_tpu.base.dna import revcomp_codes
+        from lancet2_tpu.base.phred import PHRED_TO_ERROR_PROB
+
+        n_seqs = len(seqs)
+        offsets = np.zeros(n_seqs + 1, dtype=np.int64)
+        for si, codes in enumerate(seqs):
+            offsets[si + 1] = offsets[si] + len(codes)
+        codes_buf = np.concatenate(seqs).astype(np.uint8, copy=False)
+        quals_buf = np.zeros(offsets[-1], dtype=np.uint8)
+        labels = np.zeros(n_seqs, dtype=np.uint8)
+        is_read = np.zeros(n_seqs, dtype=np.uint8)
+        sample_idx = np.zeros(n_seqs, dtype=np.int32)
+        tags = np.zeros(n_seqs, dtype=np.uint8)
+        qhashes = np.zeros(n_seqs, dtype=np.uint64)
+        for si, (label, sidx, tag, qhash) in enumerate(seq_meta):
+            labels[si] = label
+            tags[si] = tag
+            qhashes[si] = np.uint64(qhash)
+            if label != LABEL_REFERENCE:
+                is_read[si] = 1
+                sample_idx[si] = sidx
+                quals_buf[offsets[si] : offsets[si + 1]] = np.clip(
+                    seq_quals[si], 0, 255
+                )
+
+        out = native_core.kmer_pass(
+            codes_buf, offsets, quals_buf, labels, is_read, sample_idx, tags,
+            qhashes, PHRED_TO_ERROR_PROB, k, num_samples,
+            self.params.min_node_cov, LABEL_CASE,
+        )
+        if out is None:
+            return False
+
+        occ_ids = out["occ_ids"]
+        # per-seq occurrence bases to map a global occ index back to (si, pos)
+        ms = np.maximum(np.diff(offsets) - k + 1, 0)
+        occ_base = np.concatenate([[0], np.cumsum(ms)])
+
+        if seq_meta and seq_meta[0][0] == LABEL_REFERENCE:
+            ref_m = int(ms[0])
+            self.ref_node_ids = [int(i) for i in occ_ids[:ref_m]]
+        else:
+            self.ref_node_ids = []
+
+        uniq_first = out["uniq_first"]
+        uniq_ids = occ_ids[uniq_first]
+        self.all_built_ids = set(int(i) for i in uniq_ids)
+
+        survives = out["survives"]
+        counts = out["counts"]
+        role = out["role"]
+        signs = out["uniq_sign"]
+        ulabels = out["uniq_label"]
+        for ui in np.nonzero(survives)[0]:
+            fi = int(uniq_first[ui])
+            si = int(np.searchsorted(occ_base, fi, side="right")) - 1
+            pos = fi - int(occ_base[si])
+            fwd = seqs[si][pos : pos + k]
+            canon = fwd if signs[ui] == 0 else revcomp_codes(fwd)
+            nid = int(uniq_ids[ui])
+            node = Node(nid, np.ascontiguousarray(canon), int(signs[ui]),
+                        int(ulabels[ui]), num_samples)
+            node.counts = counts[ui].copy()
+            node.role_counts = [int(role[ui, 0]), int(role[ui, 1])]
+            self.nodes[nid] = node
+
+        for s_id, d_id in zip(out["edge_src"], out["edge_dst"]):
+            s_node = self.nodes.get(int(s_id))
+            d_node = self.nodes.get(int(d_id))
+            if s_node is None or d_node is None:
+                continue
+            kind = make_kind(s_node.sign, d_node.sign)
+            fwd = Edge(int(s_id), int(d_id), kind)
+            s_node.emplace_edge(fwd)
+            d_node.emplace_edge(fwd.mirror())
+        return True
 
     # ------------------------------------------------------------------
     # Phase 2: pruning primitives

@@ -39,9 +39,12 @@ def dst_sign(kind: int) -> int:
     return kind & 1
 
 
+_REV_KIND = (3, 1, 2, 0)  # PP<->MM, PM/MP fixed
+
+
 def rev_kind(kind: int) -> int:
     """Mirror-edge kind: flip both endpoint signs (PP<->MM, PM/MP fixed)."""
-    return make_kind(1 - dst_sign(kind), 1 - src_sign(kind))
+    return _REV_KIND[kind]
 
 
 def flip_sign(sign: int) -> int:

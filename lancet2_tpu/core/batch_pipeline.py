@@ -54,6 +54,7 @@ class BatchPipelineExecutor:
         pair_chunk: int = 2048,
         checkpoint=None,
         min_emit_pos=None,
+        band_margin: int | None = 96,
     ):
         self.params = params
         self.ref = ref
@@ -63,6 +64,7 @@ class BatchPipelineExecutor:
         self.window_batch = window_batch
         self.pair_chunk = pair_chunk
         self.checkpoint = checkpoint
+        self.band_margin = band_margin
         self.store = VariantStore(windows, min_emit_pos=min_emit_pos)
         self.status_counts: dict[StatusCode, int] = {}
         self.stage_timer = StageTimer()
@@ -163,7 +165,9 @@ class BatchPipelineExecutor:
                 for ci, pc in enumerate(prepared.components):
                     hap_codes = [encode(h) for h in pc.hap_seqs]
                     pq, pqu, pt, pm = genotyper.build_evidence_pairs(
-                        hap_codes, prepared.reads, pc.variants
+                        hap_codes, prepared.reads, pc.variants,
+                        anchor_pos1=pc.anchor_pos1,
+                        band_margin=self.band_margin,
                     )
                     spans.append((bi, ci, len(all_q), len(all_q) + len(pq)))
                     comp_data.append((bi, ci, prepared, pc, pm))

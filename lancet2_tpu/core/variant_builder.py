@@ -53,6 +53,7 @@ class BuilderParams:
 class PreparedComponent:
     hap_seqs: list
     variants: list
+    anchor_pos1: int = 0  # 1-based genomic position of the haplotypes' start
 
 
 @dataclass
@@ -187,7 +188,9 @@ class VariantBuilder:
             if self.probe_tracker is not None:
                 self.probe_tracker.check_msa_extraction(variants, window)
 
-            prepared.components.append(PreparedComponent(hap_seqs, variants))
+            prepared.components.append(
+                PreparedComponent(hap_seqs, variants, anchor_pos1)
+            )
 
         if not prepared.components:
             self.current_code = StatusCode.MISSING_NO_MSA_VARIANTS

@@ -305,9 +305,18 @@ def traceback_batch(
 def align_and_traceback(
     queries, q_lens, targets, t_lens, p: AlignParams
 ) -> list[dict]:
-    """Convenience host API: per-pair {score, t_start, t_end, cigar}."""
+    """Convenience host API: per-pair {score, t_start, t_end, cigar}.
+
+    Dispatches to the native C++ engine (native/assembly_core.cpp, bit-exact
+    twin, ~10x) when available; the numpy path below is the baseline.
+    """
     q_lens = np.asarray(q_lens, dtype=np.int64)
     t_lens = np.asarray(t_lens, dtype=np.int64)
+    from lancet2_tpu.base import native_core
+
+    native = native_core.align_batch(queries, q_lens, targets, t_lens, p)
+    if native is not None:
+        return native
     out = align_batch_numpy(queries, q_lens, targets, t_lens, p)
     cigars = traceback_batch(out["dirs"], q_lens, out["t_end"], p)
     results = []
