@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "for multi-GB inputs; builds the .bai when missing)")
     pl.add_argument("--no-active-region", action="store_true")
     pl.add_argument("--no-contig-check", action="store_true")
+    pl.add_argument("--stream-windows", choices=["auto", "on", "off"], default="auto",
+                    help="stream the window manifest instead of materializing "
+                         "it (WGS memory bound; auto streams when the expected "
+                         "count exceeds 131072, reference "
+                         "pipeline_executor.cpp:137-150)")
     pl.add_argument("--genome-gc-bias", type=float, default=0.41)
 
     # diagnostics
@@ -243,8 +248,23 @@ def run_pipeline(args, command_line: str) -> dict:
     if not args.region and not args.bed_file:
         wb.add_whole_reference()
     wb.sort_input_regions()
-    windows = wb.build_windows()
-    LOG.info("built %d windows (expected ~%d)", len(windows), wb.expected_target_windows())
+    expected_windows = wb.expected_target_windows()
+    stream_windows = args.stream_windows == "on" or (
+        args.stream_windows == "auto" and expected_windows > 131_072
+    )
+    # streaming is incompatible with paths that reindex the materialized
+    # manifest (multi-host sharding, checkpoint resume)
+    if stream_windows and (args.num_hosts > 1 or args.checkpoint):
+        if args.stream_windows == "on":
+            LOG.warning("--stream-windows on is incompatible with "
+                        "--num-hosts/--checkpoint; materializing windows")
+        stream_windows = False
+    if stream_windows:
+        windows = wb.iter_windows()
+        LOG.info("streaming ~%d windows (manifest not materialized)", expected_windows)
+    else:
+        windows = wb.build_windows()
+        LOG.info("built %d windows (expected ~%d)", len(windows), expected_windows)
 
     if args.num_hosts > 1:
         from lancet2_tpu.parallel.manifest import windows_for_host
@@ -329,6 +349,7 @@ def run_pipeline(args, command_line: str) -> dict:
             pair_chunk=512 if args.device == "tpu" else 2048,
             checkpoint=ckpt,
             min_emit_pos=min_emit_pos,
+            total_hint=expected_windows if stream_windows else None,
         )
     else:
         executor = PipelineExecutor(
@@ -337,6 +358,7 @@ def run_pipeline(args, command_line: str) -> dict:
             probe_tracker_factory=probe_factory,
             checkpoint=ckpt,
             min_emit_pos=min_emit_pos,
+            total_hint=expected_windows if stream_windows else None,
         )
 
     out = BgzfWriter(args.out_vcfgz)

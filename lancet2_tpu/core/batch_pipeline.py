@@ -55,26 +55,48 @@ class BatchPipelineExecutor:
         checkpoint=None,
         min_emit_pos=None,
         band_margin: int | None = 96,
+        total_hint: int | None = None,
     ):
         self.params = params
         self.ref = ref
         self.samples = samples
-        self.windows = windows
+        self.streaming = not isinstance(windows, (list, tuple))
+        self.windows = windows if not self.streaming else None
+        self._window_iter = iter(windows) if self.streaming else None
+        self.total_hint = total_hint if total_hint is not None else (
+            len(windows) if not self.streaming else None
+        )
         self.num_workers = max(1, num_workers)
         self.window_batch = window_batch
         self.pair_chunk = pair_chunk
         self.checkpoint = checkpoint
         self.band_margin = band_margin
-        self.store = VariantStore(windows, min_emit_pos=min_emit_pos)
+        self.store = VariantStore(
+            windows if not self.streaming else [], min_emit_pos=min_emit_pos
+        )
         self.status_counts: dict[StatusCode, int] = {}
         self.stage_timer = StageTimer()
         self._timer_lock = threading.Lock()
 
+    def _batches(self):
+        """Yield window batches from the list or the streaming iterator."""
+        if self.streaming:
+            batch: list = []
+            for w in self._window_iter:
+                batch.append(w)
+                if len(batch) >= self.window_batch:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
+        else:
+            for lo in range(0, len(self.windows), self.window_batch):
+                yield self.windows[lo : lo + self.window_batch]
+
     def execute(self, out) -> dict:
         import copy
 
-        n = len(self.windows)
-        if n == 0:
+        if not self.streaming and len(self.windows) == 0:
             return {"windows": 0, "flushed": 0}
         t_start = time.monotonic()
 
@@ -123,32 +145,36 @@ class BatchPipelineExecutor:
                 t.join()
             return prepared_items
 
-        batch_los = list(range(0, n, self.window_batch))
+        batch_iter = self._batches()
         next_result: dict = {}
 
-        def prefetch(lo: int) -> threading.Thread:
-            batch = self.windows[lo : lo + self.window_batch]
-
+        def prefetch(bidx: int, batch: list) -> threading.Thread:
             def run():
-                next_result[lo] = prepare_batch(batch)
+                next_result[bidx] = prepare_batch(batch)
 
             t = threading.Thread(target=run, daemon=True)
             t.start()
             return t
 
-        pending = prefetch(batch_los[0])
-        for bidx, lo in enumerate(batch_los):
-            batch = self.windows[lo : lo + self.window_batch]
+        cur_batch = next(batch_iter, None)
+        if cur_batch is None:
+            return {"windows": 0, "flushed": 0}
+        bidx = 0
+        pending = prefetch(0, cur_batch)
+        next_batch = next(batch_iter, None)
+        while cur_batch is not None:
+            batch = cur_batch
+            lo = batch[0].genome_index
             pending.join()
-            prepared_items = next_result.pop(lo)
+            prepared_items = next_result.pop(bidx)
             if failures:
                 window, exc, tb = failures[0]
                 raise RuntimeError(
                     f"prepare failed on window {window.to_samtools()}: {exc}\n{tb}"
                 )
             # overlap: next batch's host prep runs while this batch is on device
-            if bidx + 1 < len(batch_los):
-                pending = prefetch(batch_los[bidx + 1])
+            if next_batch is not None:
+                pending = prefetch(bidx + 1, next_batch)
 
             # ---- phase B: fused evidence DP over the whole batch ---------
             from lancet2_tpu.base.dna import encode
@@ -230,14 +256,16 @@ class BatchPipelineExecutor:
 
             # windows are processed in genomic batch order: everything before
             # the next batch's first window is final
-            if lo + self.window_batch < n:
-                target = lo + self.window_batch
-                flushed += self.store.flush_before_window(target, out)
+            if next_batch is not None:
+                w = next_batch[0]
+                flushed += self.store.flush_before_pos(w.chrom_index, w.start1, out)
                 if self.checkpoint is not None:
-                    w = self.windows[target]
                     self.checkpoint.save(w.chrom_index, w.start1, num_done)
             rate = num_done / (time.monotonic() - t_start)
             LOG.info("batch %d-%d done (%.2f win/s)", lo, lo + len(batch) - 1, rate)
+            cur_batch = next_batch
+            bidx += 1
+            next_batch = next(batch_iter, None) if cur_batch is not None else None
 
         flushed += self.store.flush_all(out)
         runtime = time.monotonic() - t_start

@@ -62,13 +62,24 @@ class PipelineExecutor:
         probe_tracker_factory=None,
         checkpoint=None,
         min_emit_pos=None,
+        total_hint: int | None = None,
     ):
+        """windows: a list (monolithic) or any iterable (streaming; WGS-scale
+        runs keep O(queue) memory — reference pipeline_executor.cpp:137-150).
+        total_hint sizes progress/ETA logs in streaming mode."""
         self.params = params
         self.ref = ref
         self.samples = samples
-        self.windows = windows
+        self.streaming = not isinstance(windows, (list, tuple))
+        self.windows = windows if not self.streaming else None
+        self._window_iter = iter(windows) if self.streaming else None
+        self.total_hint = total_hint if total_hint is not None else (
+            len(windows) if not self.streaming else None
+        )
         self.num_workers = max(1, num_workers)
-        self.store = VariantStore(windows, min_emit_pos=min_emit_pos)
+        self.store = VariantStore(
+            windows if not self.streaming else [], min_emit_pos=min_emit_pos
+        )
         self.checkpoint = checkpoint
         self.status_counts: dict[StatusCode, int] = {}
         self.crash_slots = CrashSlots(self.num_workers)
@@ -82,15 +93,45 @@ class PipelineExecutor:
     # ------------------------------------------------------------------
     def execute(self, out) -> dict:
         """Run all windows; write ordered VCF records to `out`."""
-        n = len(self.windows)
-        if n == 0:
-            return {"windows": 0, "flushed": 0}
+        if not self.streaming:
+            n = len(self.windows)
+            if n == 0:
+                return {"windows": 0, "flushed": 0}
 
-        in_q: queue.Queue = queue.Queue()
+        # bounded input queue: in streaming mode the feeder thread keeps at
+        # most FEED_DEPTH windows in flight (WGS memory bound); list mode
+        # feeds everything upfront through the same path
+        FEED_DEPTH = 4096
+        in_q: queue.Queue = queue.Queue(maxsize=FEED_DEPTH)
         out_q: queue.Queue = queue.Queue()
-        for w in self.windows:
-            in_q.put(w)
         stop = threading.Event()
+        feed_done = threading.Event()
+        self._num_fed = 0
+        self._win_meta: dict[int, tuple[int, int]] = {}  # idx -> (chrom_idx, start1)
+
+        def feeder() -> None:
+            try:
+                source = self.windows if not self.streaming else self._window_iter
+                for w in source:
+                    if stop.is_set():
+                        break
+                    self._win_meta[w.genome_index] = (w.chrom_index, w.start1)
+                    self._num_fed += 1
+                    while not stop.is_set():
+                        try:
+                            in_q.put(w, timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
+            finally:
+                feed_done.set()
+                for _ in range(self.num_workers):  # one sentinel per worker
+                    while not stop.is_set():
+                        try:
+                            in_q.put(None, timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
 
         def worker(worker_id: int) -> None:
             # Each worker owns its builder (readers, graph, scorers). Any
@@ -126,8 +167,10 @@ class PipelineExecutor:
             try:
                 while not stop.is_set():
                     try:
-                        window = in_q.get_nowait()
+                        window = in_q.get(timeout=0.5)
                     except queue.Empty:
+                        continue
+                    if window is None:  # feeder's end-of-stream sentinel
                         return
                     self.crash_slots.set(worker_id, window.to_samtools())
                     t0 = time.monotonic()
@@ -158,6 +201,8 @@ class PipelineExecutor:
                 if shard_writer is not None:
                     shard_writer.close()
 
+        feed_thread = threading.Thread(target=feeder, daemon=True)
+        feed_thread.start()
         threads = [
             threading.Thread(target=worker, args=(wid,), daemon=True)
             for wid in range(self.num_workers)
@@ -165,51 +210,63 @@ class PipelineExecutor:
         for t in threads:
             t.start()
 
-        done = [False] * n
+        done_set: set[int] = set()
         contiguous_done = -1
+        last_flush_target = -1
         num_done = 0
         flushed = 0
         t_start = time.monotonic()
         last_log = t_start
-        while num_done < n:
+        while True:
+            if feed_done.is_set() and num_done >= self._num_fed:
+                break
             try:
                 result = out_q.get(timeout=10.0)
             except queue.Empty:
                 # liveness check: if every worker thread died without posting
                 # a failure sentinel, don't wait forever
                 if not any(t.is_alive() for t in threads):
+                    if feed_done.is_set() and num_done >= self._num_fed:
+                        break
                     LOG.error(
                         "all workers exited with %d/%d windows done; crash context:\n%s",
-                        num_done, n, self.crash_slots.report(),
+                        num_done, self._num_fed, self.crash_slots.report(),
                     )
                     break
                 continue
             if result is None:  # worker failure
                 break
             num_done += 1
-            done[result.window_index] = True
+            done_set.add(result.window_index)
             self.status_counts[result.status] = self.status_counts.get(result.status, 0) + 1
-            while contiguous_done + 1 < n and done[contiguous_done + 1]:
+            while contiguous_done + 1 in done_set:
                 contiguous_done += 1
+                done_set.remove(contiguous_done)
             # ordered flush with lag buffer (overlapping windows may still
             # add variants just behind the cursor)
             target = contiguous_done - FLUSH_LAG_WINDOWS
-            if target >= 0:
-                flushed += self.store.flush_before_window(target, out)
+            if target > last_flush_target:
+                chrom_idx, start1 = self._win_meta[target]
+                flushed += self.store.flush_before_pos(chrom_idx, start1, out)
                 if self.checkpoint is not None:
-                    w = self.windows[target]
-                    self.checkpoint.save(w.chrom_index, w.start1, num_done)
+                    self.checkpoint.save(chrom_idx, start1, num_done)
+                # window meta below the cursor is never needed again
+                for idx in range(last_flush_target, target):
+                    self._win_meta.pop(idx, None)
+                last_flush_target = target
             now = time.monotonic()
             if now - last_log > 10.0:
+                total = self.total_hint or self._num_fed
                 rate = num_done / (now - t_start)
-                eta = (n - num_done) / rate if rate > 0 else float("inf")
+                eta = (total - num_done) / rate if rate > 0 else float("inf")
                 LOG.info(
                     "progress %.1f%% (%d/%d windows), %.1f win/s, ETA %.0fs",
-                    100.0 * num_done / n, num_done, n, rate, eta,
+                    100.0 * num_done / max(total, 1), num_done, total, rate, eta,
                 )
                 last_log = now
 
         stop.set()
+        feed_thread.join(timeout=30)
         for t in threads:
             t.join(timeout=30)
         if self._failure:

@@ -68,6 +68,11 @@ class VariantStore:
         window = self.windows[window_index]
         return self._flush(self._extract_before(window.chrom_index, window.start1), out)
 
+    def flush_before_pos(self, chrom_index: int, pos1: int, out) -> int:
+        """Flush records strictly before (chrom_index, pos1) — the streaming
+        executors' cursor form (no window list required)."""
+        return self._flush(self._extract_before(chrom_index, pos1), out)
+
     def flush_all(self, out) -> int:
         return self._flush(self._extract_before(1 << 62, 1 << 62), out)
 

@@ -164,8 +164,75 @@ class WindowBuilder:
             w.genome_index = idx
         return windows
 
+    def iter_windows(self):
+        """Streaming window generation: same windows, same order, same
+        genome indices as build_windows(), without materializing the list.
+
+        WGS-scale runs (~3M windows) keep O(cluster) memory: padded input
+        regions are grouped into overlapping clusters per contig; within a
+        cluster the per-region window streams are heap-merged (duplicates
+        from identical (chrom, start, end) keys become adjacent and are
+        dropped); across clusters windows are already strictly ordered.
+        Reference: core/pipeline_executor.cpp:137-150 streams 65,536-window
+        batches for the same reason.
+        """
+        import heapq
+
+        step = step_size(self.params)
+        wl = self.params.window_length
+
+        def region_windows(chrom, idx, ps, pe):
+            if pe - ps + 1 <= wl:
+                yield (idx, ps, pe, chrom)
+                return
+            start = ps
+            while start + wl <= pe:
+                yield (idx, start, start + wl, chrom)
+                start += step
+
+        # padded regions, genomically sorted (input_regions already sorted)
+        padded = []
+        for chrom, s, e in self.input_regions:
+            info = self.ref.find_chrom(chrom)
+            ps, pe = self._pad_region(chrom, s, e)
+            padded.append((info.index, ps, pe, chrom))
+        padded.sort(key=lambda r: (r[0], r[1], r[2]))
+
+        genome_index = 0
+        cluster: list = []
+        cluster_end = None
+
+        def flush_cluster():
+            nonlocal genome_index
+            streams = [region_windows(c, i, ps, pe) for (i, ps, pe, c) in cluster]
+            last_key = None
+            for idx, s1, e1, chrom in heapq.merge(
+                *streams, key=lambda t: (t[0], t[1], t[2])
+            ):
+                key = (idx, s1, e1)
+                if key == last_key:
+                    continue
+                last_key = key
+                yield Window(chrom, idx, s1, e1, genome_index=genome_index)
+                genome_index += 1
+
+        for reg in padded:
+            idx, ps, pe, chrom = reg
+            if cluster and (idx != cluster[-1][0] or ps > cluster_end):
+                yield from flush_cluster()
+                cluster = []
+            cluster.append(reg)
+            cluster_end = pe if cluster_end is None or len(cluster) == 1 else max(cluster_end, pe)
+        if cluster:
+            yield from flush_cluster()
+
     def build_windows_batched(self, batch_size: int = DEFAULT_NUM_WINDOWS_BATCH):
-        """Streamed batches for WGS memory control."""
-        windows = self.build_windows()
-        for off in range(0, len(windows), batch_size):
-            yield windows[off : off + batch_size]
+        """Streamed batches for WGS memory control (true generator)."""
+        batch: list[Window] = []
+        for w in self.iter_windows():
+            batch.append(w)
+            if len(batch) >= batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch

@@ -55,6 +55,40 @@ def random_reference(length: int, seed: int = 0) -> str:
     return "".join(_BASES[i] for i in rng.integers(0, 4, size=length))
 
 
+def structured_reference(length: int, features: list[tuple] | None = None,
+                         seed: int = 0) -> str:
+    """Random reference with low-complexity tracts planted at fixed positions.
+
+    features: list of (pos0, kind, *args) where kind is one of
+      ("homopolymer", base, run_len)     e.g. (2000, "homopolymer", "A", 14)
+      ("str", unit, copies)              e.g. (4000, "str", "CAG", 12)
+      ("vntr", unit_len, copies)         random unit of unit_len, repeated
+
+    The tract overwrites the random sequence in place (length unchanged),
+    mirroring the GIAB LowComplexity stratification regions the reference
+    calibrates longdust against (tests/data/base/longdust_calibration_*.tsv).
+    """
+    seq = list(random_reference(length, seed=seed))
+    rng = np.random.default_rng(seed + 7919)
+    for feat in features or []:
+        pos, kind = feat[0], feat[1]
+        if kind == "homopolymer":
+            base, run = feat[2], feat[3]
+            tract = base * run
+        elif kind == "str":
+            unit, copies = feat[2], feat[3]
+            tract = unit * copies
+        elif kind == "vntr":
+            unit_len, copies = feat[2], feat[3]
+            unit = "".join(_BASES[i] for i in rng.integers(0, 4, size=unit_len))
+            tract = unit * copies
+        else:
+            raise ValueError(f"unknown feature kind {kind!r}")
+        end = min(pos + len(tract), length)
+        seq[pos:end] = tract[: end - pos]
+    return "".join(seq)
+
+
 def _md_tag(read_seq: str, ref_slice: str, cigar: Cigar) -> str:
     """Build an MD aux tag for an alignment (matches/mismatches/deletions)."""
     md = []
@@ -130,6 +164,15 @@ class ReadSimulator:
             haps.append((hap, hmap, list(variants)))
         return haps
 
+    def _local_haplotype(self, lo: int, hi: int, carried: list[Variant]):
+        """Apply `carried` variants to the reference slice [lo, hi);
+        returns (hap_seq, per-base GLOBAL ref-pos map)."""
+        hap = self.ref_seq[lo:hi]
+        hmap = list(range(lo, hi))
+        for var in sorted(carried, key=lambda v: -v.pos0):
+            hap, hmap = _apply_variant(hap, var, hmap)
+        return hap, hmap
+
     def _read_record(
         self, qname: str, hap: str, hmap: list[int], hstart: int, rev: bool, flags: int,
         mate_pos0: int, tlen: int, ref_id: int,
@@ -195,24 +238,51 @@ class ReadSimulator:
     def simulate(
         self, variants: list[Variant], coverage: float, writer: BamWriter, qname_prefix: str = "rd",
     ) -> int:
-        """Sample paired reads to the target mean coverage; returns #reads written."""
-        haps = self._haplotypes(variants)
+        """Sample paired reads to the target mean coverage; returns #reads written.
+
+        Each fragment decides carriage per overlapping variant independently
+        with probability `var.vaf` (so low-VAF somatic and per-variant VAFs
+        coexist), then reads are sampled from a fragment-local haplotype —
+        scales to chromosome-length references without building genome-wide
+        alt haplotypes.
+        """
+        import bisect
+
+        svars = sorted(variants, key=lambda v: v.pos0)
+        vpos = [v.pos0 for v in svars]
         n_frags = int(coverage * len(self.ref_seq) / (2 * self.read_len))
         ref_id = 0
         written = 0
+        pad = 80  # local slack for deletions shrinking the haplotype
         for i in range(n_frags):
-            # choose haplotype by VAF (single alt haplotype carries all variants)
-            use_alt = len(haps) > 1 and self.rng.random() < (variants[0].vaf if variants else 0.0)
-            hap, hmap, _ = haps[1] if use_alt else haps[0]
             frag_len = max(int(self.rng.normal(self.frag_mean, self.frag_sd)), 2 * self.read_len + 10)
-            start = int(self.rng.integers(0, max(len(hap) - frag_len, 1)))
-            r1_start = start
-            r2_start = start + frag_len - self.read_len
+            start = int(self.rng.integers(0, max(len(self.ref_seq) - frag_len, 1)))
+            # variants whose span intersects the fragment's local slice
+            lo_i = bisect.bisect_left(vpos, start - pad)
+            hi_i = bisect.bisect_right(vpos, start + frag_len + pad)
+            carried = [v for v in svars[lo_i:hi_i] if self.rng.random() < v.vaf]
+            if carried:
+                s_lo = max(start - pad // 2, 0)
+                s_hi = min(start + frag_len + pad, len(self.ref_seq))
+                carried = [v for v in carried
+                           if v.pos0 >= s_lo and v.pos0 + len(v.ref) <= s_hi]
+                hap, hmap = self._local_haplotype(s_lo, s_hi, carried)
+                h_start = start - s_lo
+            else:
+                hap, hmap, h_start = self.ref_seq, None, start
+            r1_start = h_start
+            r2_start = h_start + frag_len - self.read_len
+            if r2_start + self.read_len > len(hap):
+                r2_start = len(hap) - self.read_len
             qname = f"{qname_prefix}{i}"
             flags1 = FLAG_PAIRED | FLAG_PROPER_PAIR | FLAG_READ1 | FLAG_MATE_REVERSE
             flags2 = FLAG_PAIRED | FLAG_PROPER_PAIR | FLAG_READ2
-            rec1 = self._read_record(qname, hap, hmap, r1_start, False, flags1, 0, frag_len, ref_id)
-            rec2 = self._read_record(qname, hap, hmap, r2_start, True, flags2, 0, -frag_len, ref_id)
+            if hmap is None:
+                rec1 = self._ref_read_record(qname, r1_start, False, flags1, 0, frag_len, ref_id)
+                rec2 = self._ref_read_record(qname, r2_start, True, flags2, 0, -frag_len, ref_id)
+            else:
+                rec1 = self._read_record(qname, hap, hmap, r1_start, False, flags1, 0, frag_len, ref_id)
+                rec2 = self._read_record(qname, hap, hmap, r2_start, True, flags2, 0, -frag_len, ref_id)
             if rec1 is None or rec2 is None:
                 continue
             rec1.next_pos0 = rec2.pos0
@@ -221,6 +291,34 @@ class ReadSimulator:
             writer.add(rec2)
             written += 2
         return written
+
+    def _ref_read_record(
+        self, qname: str, hstart: int, rev: bool, flags: int,
+        mate_pos0: int, tlen: int, ref_id: int,
+    ) -> BamRecord | None:
+        """Fast path for reads with no variants: pure-match CIGAR, no map walk."""
+        L = self.read_len
+        sub = self.ref_seq[hstart : hstart + L]
+        if len(sub) < L:
+            return None
+        seq = np.frombuffer(sub.encode(), dtype=np.uint8).copy()
+        errs = self.rng.random(L) < self.error_rate
+        if errs.any():
+            for i in np.nonzero(errs)[0]:
+                orig = chr(seq[i])
+                choices = [b for b in _BASES if b != orig]
+                seq[i] = ord(choices[self.rng.integers(0, 3)])
+        read_seq = seq.tobytes().decode()
+        qual = np.full(L, self.base_qual, dtype=np.uint8)
+        qual[errs] = np.minimum(qual[errs], 11)
+        cigar: Cigar = [(M, L)]
+        md = _md_tag(read_seq, sub, cigar)
+        flag = flags | (FLAG_REVERSE if rev else 0)
+        return BamRecord(
+            qname=qname, flag=flag, ref_id=ref_id, pos0=hstart, mapq=60, cigar=cigar,
+            next_ref_id=ref_id, next_pos0=mate_pos0, tlen=tlen, seq=read_seq, qual=qual,
+            tags={"MD": md, "NM": 0},
+        )
 
 
 def make_tumor_normal_fixture(

@@ -127,6 +127,34 @@ class TestStats:
         es = stats.mann_whitney_effect_size(ref, alt)
         assert es == pytest.approx(expected_z / math.sqrt(7))
 
+    REF_MW_TSV = "/root/reference/tests/data/base/mann_whitney_scipy_ref.tsv"
+
+    @pytest.mark.skipif(
+        not __import__("os").path.exists(REF_MW_TSV),
+        reason="reference golden TSV not present",
+    )
+    def test_mann_whitney_vs_reference_scipy_golden_tsv(self):
+        """Golden-master cross-validation against the reference's committed
+        scipy-generated effect sizes (the reference's own independent-oracle
+        strategy, /root/reference/tests/CMakeLists.txt golden TSVs)."""
+        import csv
+
+        with open(self.REF_MW_TSV) as f:
+            rows = list(csv.DictReader(f, delimiter="\t"))
+        assert len(rows) >= 10
+        for row in rows:
+            ref_vals = [float(x) for x in row["ref_vals"].split(",") if x]
+            alt_vals = [float(x) for x in row["alt_vals"].split(",") if x]
+            got = stats.mann_whitney_effect_size(ref_vals, alt_vals)
+            if not ref_vals or not alt_vals:
+                # empty-group rows: reference emits NaN, this impl None
+                assert got is None or row["expected_effect_size"] in ("", "nan")
+                continue
+            expected = float(row["expected_effect_size"])
+            assert got == pytest.approx(expected, abs=1e-12), (
+                f"seed={row['groups_seed']} n_ref={row['n_ref']}"
+            )
+
     def test_coverage_invariance(self):
         # Same bias at 10x replication should give (nearly) the same effect size.
         rng = np.random.default_rng(3)
