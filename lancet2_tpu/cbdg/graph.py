@@ -190,6 +190,9 @@ class GraphParams:
     # 'final' = one DOT per component per window; 'verbose' additionally
     # snapshots every pruning boundary (reference GraphSnapshotMode)
     snapshot_mode: str = "final"
+    # construction backend: 'auto' (native C++ then numpy), 'native',
+    # 'numpy', or 'device' (XLA pass, ops/graph_tpu.py) — all bit-exact twins
+    build_backend: str = "auto"
 
 
 class _RefAnchor(NamedTuple):
@@ -337,8 +340,13 @@ class Graph:
         if not seqs:
             return
 
-        if self._build_graph_native(seqs, seq_quals, seq_meta, k, num_samples):
-            return
+        backend = getattr(self.params, "build_backend", "auto")
+        if backend == "device":
+            if self._build_graph_xla(seqs, seq_quals, seq_meta, k, num_samples):
+                return
+        elif backend != "numpy":
+            if self._build_graph_native(seqs, seq_quals, seq_meta, k, num_samples):
+                return
 
         # K-merize every sequence; collect global occurrence arrays.
         kmer_blocks = []
@@ -459,6 +467,82 @@ class Graph:
                 fwd = Edge(int(s_id), int(d_id), kind)
                 s_node.emplace_edge(fwd)
                 d_node.emplace_edge(fwd.mirror())
+
+    def _build_graph_xla(self, seqs, seq_quals, seq_meta, k: int,
+                         num_samples: int) -> bool:
+        """Device (XLA) construction pass (ops/graph_tpu.py) — bit-exact twin
+        of the numpy path (parity-tested in tests/test_graph_tpu.py). The
+        canonicalize/sort/dedup/segment-sum bulk runs on the accelerator;
+        the host hashes only the n_uniq survivors and materializes nodes."""
+        try:
+            from lancet2_tpu.ops.graph_tpu import build_graph_device
+        except Exception:
+            return False
+
+        out = build_graph_device(seqs, seq_quals, seq_meta, k, num_samples)
+        if out is None:
+            return True  # no sequences: empty graph
+
+        ids = out["ids"]
+        counts = out["counts"]
+        roles = out["roles"]
+        first_idx = out["first_idx"]
+        inverse = out["inverse"]
+        occ_sign = out["occ_sign"]
+        M = out["grid_m"]
+
+        if seq_meta and seq_meta[0][0] == LABEL_REFERENCE:
+            ref_m = len(seqs[0]) - k + 1
+            self.ref_node_ids = [int(ids[u]) for u in inverse[0, :ref_m]]
+        else:
+            self.ref_node_ids = []
+        self.all_built_ids = set(int(i) for i in ids)
+
+        totals = counts.sum(axis=1)
+        all_singleton = (counts > 0).any(axis=1) & (counts <= 1).all(axis=1)
+        survives = (~all_singleton) & (totals >= self.params.min_node_cov)
+
+        order = np.argsort(first_idx, kind="stable")
+        for ui in order:
+            if not survives[ui]:
+                continue
+            fi = int(first_idx[ui])
+            si, pos = fi // M, fi % M
+            nid = int(ids[ui])
+            node = Node(
+                nid,
+                np.ascontiguousarray(out["codes"][ui]),
+                int(occ_sign[si, pos]),
+                int(seq_meta[si][0]),
+                num_samples,
+            )
+            node.counts = counts[ui].astype(np.int64)
+            node.role_counts = [int(roles[ui, 0]), int(roles[ui, 1])]
+            self.nodes[nid] = node
+
+        # edges from consecutive occurrence pairs (uniq-index space -> ids)
+        src_list, dst_list = [], []
+        for si, codes in enumerate(seqs):
+            m = len(codes) - k + 1
+            if m >= 2:
+                src_list.append(inverse[si, : m - 1])
+                dst_list.append(inverse[si, 1:m])
+        if src_list:
+            src_ids = ids[np.concatenate(src_list)]
+            dst_ids = ids[np.concatenate(dst_list)]
+            pk = np.empty(src_ids.size, dtype=[("s", "u8"), ("d", "u8")])
+            pk["s"] = src_ids
+            pk["d"] = dst_ids
+            for s_id, d_id in np.unique(pk):
+                s_node = self.nodes.get(int(s_id))
+                d_node = self.nodes.get(int(d_id))
+                if s_node is None or d_node is None:
+                    continue
+                kind = make_kind(s_node.sign, d_node.sign)
+                fwd = Edge(int(s_id), int(d_id), kind)
+                s_node.emplace_edge(fwd)
+                d_node.emplace_edge(fwd.mirror())
+        return True
 
     def _build_graph_native(self, seqs, seq_quals, seq_meta, k: int,
                             num_samples: int) -> bool:
