@@ -60,32 +60,39 @@ def bench_sw_kernel():
     return B * Lq * Lt / per_align / 1e9, per_align
 
 
-def bench_evidence_dp():
-    """Amortized evidence-DP rate: the full genotype-stage kernel (scores +
-    NM + per-region evidence stats; replaces traceback + host CIGAR walks)."""
+def bench_evidence_pallas():
+    """Amortized evidence-kernel rate at the executor's dispatch shape: the
+    full genotype-stage Pallas kernel (scores + NM + per-region evidence
+    stats). EVERY output lane is consumed by the chained carry — the
+    round-1 bench consumed only `score`, letting XLA dead-code-eliminate
+    the evidence planes and report a ~3000x-too-fast number."""
     import jax
     import jax.numpy as jnp
 
-    from lancet2_tpu.ops.affine_dp import READ_TO_HAP
-    from lancet2_tpu.ops.evidence_dp import _make_engine
+    from lancet2_tpu.ops.evidence_pallas import _device_call
 
-    engine = _make_engine(READ_TO_HAP)
-    B, Lq, Lt, K = 512, 152, 1024, 8
+    B, Lq, Lt, R, K = 2048, 160, 384, 2, 4
     rng = np.random.default_rng(2)
     q = jnp.asarray(rng.integers(0, 4, (B, Lq)), jnp.uint8)
     qu = jnp.asarray(rng.integers(20, 40, (B, Lq)), jnp.uint8)
     t = jnp.asarray(rng.integers(0, 4, (B, Lt)), jnp.uint8)
-    ql = jnp.full((B,), Lq, jnp.int32)
-    tl = jnp.full((B,), Lt, jnp.int32)
-    regions = jnp.asarray(
-        np.tile(np.array([[100, 101], [300, 310], [0, 0], [0, 0]], np.int32), (B, 1, 1))
-    )
+    ql = jnp.full((B, 1), Lq, jnp.int32)
+    tl = jnp.full((B, 1), Lt, jnp.int32)
+    reg = np.zeros((B, 128), np.int32)
+    reg[:, 0], reg[:, 64] = 100, 106
+    reg[:, 1], reg[:, 65] = 300, 301
+    reg = jnp.asarray(reg)
+    interpret = jax.default_backend() == "cpu"
 
     def chained(qq):
         def body(carry, _):
-            out = engine(carry, qu, ql, t, tl, regions)
-            nxt = (carry + (out["score"][:, None] & 1).astype(jnp.uint8)) % 4
-            return nxt, out["score"][0]
+            iout, fout = _device_call(
+                carry, qu, t, ql, tl, reg,
+                Lq=Lq, Lt=Lt, R=R, b_tile=128, interpret=interpret,
+            )
+            bump = (iout.sum() + fout.sum().astype(jnp.int32)) & 1
+            nxt = (carry + bump.astype(jnp.uint8)) % 4
+            return nxt, iout[0, 0]
         _, ss = jax.lax.scan(body, qq, None, length=K)
         return ss
 

@@ -46,7 +46,26 @@ REF_HAP_IDX = 0
 _PAIR_CHUNK = 512
 
 
-_TARGET_BUCKETS = (64, 128, 256, 512, 768, 1024, 1280, 1536, 2048, 4096, 8192)
+_TARGET_BUCKETS = (64, 128, 256, 384, 512, 768, 1024, 1280, 1536, 2048, 4096, 8192)
+
+
+def _on_device() -> bool:
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _evidence_engine():
+    """Evidence-DP engine for the current backend: the Pallas kernel on TPU
+    (the XLA-scan engine's per-row gathers are ~2000x slower through the
+    device path — measured), the XLA engine elsewhere."""
+    if _on_device():
+        from lancet2_tpu.ops.evidence_pallas import evidence_dp_exact
+
+        return evidence_dp_exact
+    from lancet2_tpu.ops.evidence_dp import evidence_dp
+
+    return evidence_dp
 
 
 def _bucket(n: int, buckets=(64, 128, 256, 512, 1024, 2048, 4096, 8192)) -> int:
@@ -84,7 +103,8 @@ class Genotyper:
     # ------------------------------------------------------------------
     def build_evidence_pairs(self, hap_codes, reads, variants,
                              anchor_pos1: int | None = None,
-                             band_margin: int | None = None):
+                             band_margin: int | None = None,
+                             max_regions: int | None = None):
         """Phase 1: enumerate (read, hap, region-chunk) pairs for one window.
 
         With band_margin set (and anchor_pos1 giving the haplotypes' genomic
@@ -99,6 +119,17 @@ class Genotyper:
         """
         from lancet2_tpu.ops.evidence_dp import R_MAX
 
+        if max_regions is None:
+            # the Pallas kernel is specialized to <=R_KERNEL_MAX active
+            # region slots; group accordingly when that engine will run
+            if _on_device():
+                from lancet2_tpu.ops.evidence_pallas import R_KERNEL_MAX
+
+                max_regions = R_KERNEL_MAX
+            else:
+                max_regions = R_MAX
+        max_regions = min(max_regions, R_MAX)
+
         n_haps = len(hap_codes)
         # per-hap region chunks: (chunk_regions [R_MAX, 2], chunk_vis [R_MAX])
         hap_chunks: list[list[tuple[np.ndarray, list[int]]]] = []
@@ -109,8 +140,8 @@ class Genotyper:
                 if bounds is not None:
                     carried.append((vi, bounds[0], bounds[1], bounds[2]))
             chunks = []
-            for off in range(0, max(len(carried), 1), R_MAX):
-                group = carried[off : off + R_MAX]
+            for off in range(0, max(len(carried), 1), max_regions):
+                group = carried[off : off + max_regions]
                 regions = np.zeros((R_MAX, 2), np.int32)
                 vis = []
                 for r, (vi, vs, vlen, allele) in enumerate(group):
@@ -147,26 +178,108 @@ class Genotyper:
                     pair_qu.append(read.qual)
         return pair_q, pair_qu, pair_t, pair_meta
 
-    def run_evidence_pairs(self, pair_q, pair_qu, pair_t, pair_meta):
-        """Phase 2: chunked/bucketed evidence-DP over the pair list."""
-        from lancet2_tpu.ops.evidence_dp import R_MAX, evidence_dp
+    def _chunk_inputs(self, pair_q, pair_qu, pair_t, pair_meta, lo, hi,
+                      on_device: bool):
+        """Pad one pair chunk [lo, hi) to bucketed shapes."""
+        from lancet2_tpu.ops.evidence_dp import R_MAX
 
-        outs = {}
-        for lo in range(0, len(pair_q), _PAIR_CHUNK):
-            hi = min(lo + _PAIR_CHUNK, len(pair_q))
-            n_pairs = hi - lo
-            bq = _bucket(max(len(s) for s in pair_q[lo:hi]), (160, 320, 640, 1280))
+        n_pairs = hi - lo
+        bq = _bucket(max(len(s) for s in pair_q[lo:hi]), (160, 320, 640, 1280))
+        if on_device:
+            # Mosaic compiles through the tunnel are expensive (minutes,
+            # cached persistently): pin the pair-count bucket to the chunk
+            # size and coarsen target buckets so only a handful of shapes
+            # ever compile
+            bt = _bucket(max(len(s) for s in pair_t[lo:hi]),
+                         (256, 384, 512, 768, 1024, 1536, 2048, 4096, 8192))
+            bb = _PAIR_CHUNK
+        else:
             bt = _bucket(max(len(s) for s in pair_t[lo:hi]), _TARGET_BUCKETS)
             # bucket list must cover the largest pair chunk: an exact-n
             # fallback would mint a fresh XLA shape per run (never cached)
             bb = _bucket(n_pairs, (64, 128, 256, 512, 1024, 2048, 4096))
-            qs, qlens = _pad(pair_q[lo:hi] + [pair_q[lo]] * (bb - n_pairs), bq)
-            qus, _ = _pad(pair_qu[lo:hi] + [pair_qu[lo]] * (bb - n_pairs), bq)
-            ts, tlens = _pad(pair_t[lo:hi] + [pair_t[lo]] * (bb - n_pairs), bt)
-            regions = np.zeros((bb, R_MAX, 2), np.int32)
-            for b in range(n_pairs):
-                regions[b] = pair_meta[lo + b][2]
-            out = evidence_dp(qs, qus, qlens, ts, tlens, regions)
+        qs, qlens = _pad(pair_q[lo:hi] + [pair_q[lo]] * (bb - n_pairs), bq)
+        qus, _ = _pad(pair_qu[lo:hi] + [pair_qu[lo]] * (bb - n_pairs), bq)
+        ts, tlens = _pad(pair_t[lo:hi] + [pair_t[lo]] * (bb - n_pairs), bt)
+        regions = np.zeros((bb, R_MAX, 2), np.int32)
+        for b in range(n_pairs):
+            regions[b] = pair_meta[lo + b][2]
+        return qs, qus, qlens, ts, tlens, regions
+
+    def run_evidence_pairs(self, pair_q, pair_qu, pair_t, pair_meta):
+        """Phase 2: chunked/bucketed evidence-DP over the pair list.
+
+        On TPU all chunks are SUBMITTED before any is read back: JAX
+        dispatch is async, so device execution of chunk i overlaps host
+        padding of chunk i+1, and the device->host gets (each paying the
+        tunnel's ~250ms latency floor) overlap each other via
+        copy_to_host_async. Descent-overflow pairs re-run on the host XLA
+        engine, keeping results bit-exact vs ops.evidence_dp (tested)."""
+        if _on_device():
+            return self._run_evidence_pairs_device(
+                pair_q, pair_qu, pair_t, pair_meta
+            )
+        from lancet2_tpu.ops.evidence_dp import evidence_dp
+
+        outs = {}
+        for lo in range(0, len(pair_q), _PAIR_CHUNK):
+            hi = min(lo + _PAIR_CHUNK, len(pair_q))
+            chunk = self._chunk_inputs(
+                pair_q, pair_qu, pair_t, pair_meta, lo, hi, on_device=False
+            )
+            out = evidence_dp(*chunk)
+            for key, arr in out.items():
+                outs.setdefault(key, []).append(arr[: hi - lo])
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    def _run_evidence_pairs_device(self, pair_q, pair_qu, pair_t, pair_meta):
+        from lancet2_tpu.ops.evidence_pallas import (
+            R_KERNEL_MAX,
+            evidence_pairs_finalize,
+            evidence_pairs_submit,
+        )
+
+        pending = []
+        for lo in range(0, len(pair_q), _PAIR_CHUNK):
+            hi = min(lo + _PAIR_CHUNK, len(pair_q))
+            chunk = self._chunk_inputs(
+                pair_q, pair_qu, pair_t, pair_meta, lo, hi, on_device=True
+            )
+            regions = chunk[5]
+            active = regions[:, :, 1] > regions[:, :, 0]
+            if active[:, R_KERNEL_MAX:].any():
+                # pairs built without the device region cap (defensive):
+                # run this chunk through the splitting wrapper synchronously
+                pending.append(("sync", chunk, hi - lo))
+                continue
+            iout, fout, B, R = evidence_pairs_submit(*chunk)
+            pending.append(("async", (iout, fout, B, R, chunk), hi - lo))
+
+        # start every device->host copy before reading any result
+        for kind, item, _n in pending:
+            if kind == "async":
+                item[0].copy_to_host_async()
+                item[1].copy_to_host_async()
+
+        outs: dict[str, list] = {}
+        for kind, item, n_pairs in pending:
+            if kind == "sync":
+                from lancet2_tpu.ops.evidence_pallas import evidence_dp_exact
+
+                out = evidence_dp_exact(*item)
+            else:
+                iout, fout, B, R, chunk = item
+                out = evidence_pairs_finalize(iout, fout, B, R)
+                ovf = out.pop("overflow")
+                if ovf[:n_pairs].any():
+                    from lancet2_tpu.ops.evidence_pallas import host_evidence_dp
+
+                    idx = np.flatnonzero(ovf[:n_pairs])
+                    sub = host_evidence_dp(
+                        *(np.asarray(a)[idx] for a in chunk)
+                    )
+                    for k in out:
+                        out[k][idx] = sub[k]
             for key, arr in out.items():
                 outs.setdefault(key, []).append(arr[:n_pairs])
         return {k: np.concatenate(v) for k, v in outs.items()}

@@ -341,12 +341,11 @@ def run_pipeline(args, command_line: str) -> dict:
     if args.executor == "batch":
         from lancet2_tpu.core.batch_pipeline import BatchPipelineExecutor
 
-        # TPU dispatches cap the pair chunk at 512: larger batch dims blow up
-        # XLA compile time through the device tunnel (a (2048,160,1280)
-        # evidence-DP compile never finishes where (512,160,1280) takes ~60s)
+        # TPU phase B runs the Pallas evidence kernel (genotyper selects it
+        # by backend); 2048-pair chunks amortize the tunnel RTT per dispatch
         executor = BatchPipelineExecutor(
             params, ref, samples, windows, num_workers=args.num_threads,
-            pair_chunk=512 if args.device == "tpu" else 2048,
+            pair_chunk=2048,
             checkpoint=ckpt,
             min_emit_pos=min_emit_pos,
             total_hint=expected_windows if stream_windows else None,

@@ -1,0 +1,591 @@
+"""Pallas TPU kernel: traceback-free evidence DP, VMEM-resident.
+
+The XLA-scan engine (ops/evidence_dp.py) carries ~80 [B, Lt] accumulator
+planes through `lax.scan`; on TPU that state round-trips through HBM every
+query row and its per-row `take_along_axis` gathers lower to serial loops —
+measured ~2.4 MCUPS through the device path, ~14,000x off the score-only
+Pallas kernel. This kernel keeps every DP plane in VMEM for the whole row
+loop and replaces the gathers with shift/select forms:
+
+  * deletion (horizontal-gap) VALUES: exact packed value+source prefix-max
+    (same identity as the XLA engine; log-step lane shifts)
+  * deletion COMPANIONS (the accumulators that must be fetched from the
+    gap-opening column): a capped binary descent — shift each companion
+    plane right by the bits of the per-lane source distance (D_MAX = 31).
+    Runs whose distance exceeds the cap AND would win the cell raise a
+    per-pair `overflow` flag; the wrapper re-runs flagged pairs on the XLA
+    engine, so combined results are bit-exact ALWAYS (parity-tested).
+
+Float accumulators replicate the XLA engine's operation order exactly
+(e.g. deletion-run pbq adds `overlap * ge` to the fetched value rather than
+folding prefix sums through the descent), so results are bit-identical,
+not just close.
+
+Kernels are specialized by active-region count R in {1, 2, 4}: most
+dispatch chunks carry one or two variant regions, and companion plane count
+(2 + 7R in the descent) sets the per-cell cost.
+
+Semantics contract: ops/evidence_dp.py (which in turn mirrors the
+reference's caller/local_scorer.cpp RegionAccumulator + combined_scorer.cpp
+evidence surface; reference: src/lancet/caller/genotyper.cpp:269-321).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lancet2_tpu.base.phred import PHRED_TO_CONFIDENCE
+from lancet2_tpu.ops.affine_dp import NEG_INF, READ_TO_HAP, AlignParams
+
+D_MAX = 31  # descent cap: bits (16, 8, 4, 2, 1)
+_DESC_BITS = (16, 8, 4, 2, 1)
+
+# output column layout (int plane width 32 / float plane width 16) — kept
+# narrow so the device->host result transfer per chunk stays small
+ICOL_SCORE, ICOL_TEND, ICOL_TSTART, ICOL_NM, ICOL_OVF = 0, 1, 2, 3, 4
+ICOL_QV, ICOL_ALIGNED, ICOL_MINBQ = 8, 12, 16
+FCOL_RAW, FCOL_PBQ, FCOL_MATCH = 0, 4, 8
+IOUT_W, FOUT_W = 32, 16
+
+# lane-axis constraint: the transposed [Lq, B] row inputs put the pair axis
+# on lanes, so tiles must be 128-wide; R=4 inputs are split into two R=2
+# dispatches in the wrapper (region slots are independent given the DP, and
+# 3-4-variant chunks are rare) to bound VMEM-resident plane count.
+B_TILE = 128
+R_KERNEL_MAX = 2
+
+
+def _shift_right(x, s, fill):
+    b = x.shape[0]
+    blk = jnp.full((b, s), fill, x.dtype)
+    return jnp.concatenate([blk, x[:, :-s]], axis=1)
+
+
+def _shift1_blk(x, col0_blk):
+    return jnp.concatenate([col0_blk.astype(x.dtype), x[:, :-1]], axis=1)
+
+
+def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
+    if p.dual or not p.free_target_ends:
+        raise NotImplementedError("evidence kernel covers the fitting single-affine mode")
+    go, ge = p.gap_open1, p.gap_extend1
+    log_steps = max(1, int(np.ceil(np.log2(Lt))))
+    NEG = np.int32(NEG_INF)
+
+    # bank = dict of planes: val [B,Lt] i32; start, nm [B,Lt] i32;
+    # per region r: qv, aligned, minbq (i32), raw, pbq, match (f32)
+    RKEYS_I = ("qv", "aligned", "minbq")
+    RKEYS_F = ("raw", "pbq", "match")
+
+    def bank_like(val, start, nm, reg):
+        return {"val": val, "start": start, "nm": nm, **reg}
+
+    def sel_bank(cond, A, B):
+        return {k: jnp.where(cond, A[k], B[k]) for k in A}
+
+    def kernel(qT_ref, quT_ref, confT_ref, flankT_ref, minqpPT_ref,
+               qlen_ref, t_ref, tlen_ref, reg_ref, iout_ref, fout_ref):
+        # minqpPT: EXCLUSIVE prefix-min of quals (row i-1 holds min over
+        # q[0..i-2], 255 for i=1) — precomputed on host so the kernel never
+        # needs an unaligned cross-chunk sublane read.
+        B = b_tile
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, Lt), 1)  # lane l
+        lanes_f = col_ids.astype(jnp.float32)
+        t32 = t_ref[:, :]
+        q_lens = qlen_ref[:, 0:1]  # [B, 1]
+        t_lens = tlen_ref[:, 0:1]
+        t_is_n = t32 >= 4
+
+        # ---- region scalars and loop-invariant mask planes ---------------
+        in_reg_d, ins_in, consume_vs = [], [], []
+        pref_excl, pref_incl = [], []
+        vs_l, ve_l, act_l, in0_l = [], [], [], []
+        for r in range(R):
+            vs = reg_ref[:, r : r + 1]          # [B, 1]
+            ve = reg_ref[:, 64 + r : 64 + r + 1]
+            active = ve > vs
+            vs_l.append(vs); ve_l.append(ve); act_l.append(active)
+            in0_l.append((vs <= 0) & (ve > 0) & active)
+            ird = (col_ids >= vs) & (col_ids < ve) & active
+            in_reg_d.append(ird)
+            ins_in.append((col_ids + 1 >= vs) & (col_ids + 1 < ve) & active)
+            consume_vs.append((col_ids == vs) & active)
+            pe = ird.astype(jnp.int32)
+            # inclusive prefix sum via log shifts
+            for s in range(log_steps):
+                pe = pe + _shift_right(pe, 1 << s, 0)
+            pref_incl.append(pe)                      # pref0(l+1)
+            pref_excl.append(pe - ird.astype(jnp.int32))  # pref0(l)
+
+        ramp = ge * (col_ids + 1)                     # ge * k, k = l+1
+        # F at lane l (target pos l+1) sourcing H_tmp at pos s deletes
+        # (l+1-s) target bases: charge go + ge*(l+1-s)
+        # = (base(s) + ramp(s)) - (ramp(l) + go + ge)
+        f_off = ramp + (go + ge)
+
+        def zero_reg():
+            d = {}
+            for r in range(R):
+                d[f"qv{r}"] = jnp.full((B, Lt), -1, jnp.int32)
+                d[f"aligned{r}"] = jnp.zeros((B, Lt), jnp.int32)
+                d[f"minbq{r}"] = jnp.full((B, Lt), 255, jnp.int32)
+                d[f"raw{r}"] = jnp.zeros((B, Lt), jnp.float32)
+                d[f"pbq{r}"] = jnp.zeros((B, Lt), jnp.float32)
+                d[f"match{r}"] = jnp.zeros((B, Lt), jnp.float32)
+            return d
+
+        H0 = bank_like(
+            jnp.zeros((B, Lt), jnp.int32), col_ids + 1,
+            jnp.zeros((B, Lt), jnp.int32), zero_reg(),
+        )
+        V0 = dict(H0)
+        V0["val"] = jnp.full((B, Lt), NEG, jnp.int32)
+        F0 = dict(H0)
+        ovf0 = jnp.zeros((B, Lt), jnp.int32)
+
+        def col0_bank(i, minqp):
+            """Column-0 accumulator scalars of row i ([B,1] each)."""
+            d = {
+                "val": jnp.broadcast_to(jnp.int32(-(go)) - ge * i, (B, 1)),
+                "start": jnp.zeros((B, 1), jnp.int32),
+                "nm": jnp.broadcast_to(i.astype(jnp.int32), (B, 1)),
+            }
+            for r in range(R):
+                d[f"qv{r}"] = jnp.full((B, 1), -1, jnp.int32)
+                d[f"aligned{r}"] = jnp.where(in0_l[r], i, 0)
+                d[f"minbq{r}"] = jnp.where(in0_l[r], minqp, 255)
+                d[f"raw{r}"] = jnp.zeros((B, 1), jnp.float32)
+                d[f"pbq{r}"] = jnp.where(
+                    in0_l[r], jnp.float32(ge) * i.astype(jnp.float32), 0.0
+                )
+                d[f"match{r}"] = jnp.zeros((B, 1), jnp.float32)
+            return d
+
+        def shift_bank(bank, c0):
+            return {k: _shift1_blk(bank[k], c0[k]) for k in bank}
+
+        def row_update(i, row_data, carry):
+            Hb, Vb, Fb, ovf = carry
+            qi, qual_row, qconf, flank, minqp, minqp_prev = row_data  # [B,1] each
+            ii = jnp.int32(i) if isinstance(i, int) else i
+
+            c0_prev = col0_bank(ii - 1, minqp_prev)
+            c0_prev["val"] = jnp.where(
+                jnp.broadcast_to(ii == 1, (B, 1)), 0, -(go + ge * (ii - 1))
+            ).astype(jnp.int32)
+            c0_cur = col0_bank(ii, minqp)
+
+            # ---- diagonal -------------------------------------------------
+            eq = qi == t32
+            q_is_n = qi >= 4
+            sub = jnp.where(
+                q_is_n | t_is_n, 0, jnp.where(eq, p.match, -p.mismatch)
+            ).astype(jnp.int32)
+            db = shift_bank(Hb, c0_prev)
+            db["val"] = db["val"] + sub
+            db["nm"] = db["nm"] + (1 - eq.astype(jnp.int32))
+            subf = sub.astype(jnp.float32)
+            for r in range(R):
+                ird = in_reg_d[r]
+                db[f"aligned{r}"] = db[f"aligned{r}"] + ird.astype(jnp.int32)
+                db[f"minbq{r}"] = jnp.where(
+                    ird, jnp.minimum(db[f"minbq{r}"], qual_row), db[f"minbq{r}"]
+                )
+                qv = db[f"qv{r}"]
+                db[f"qv{r}"] = jnp.where(consume_vs[r] & (qv < 0), ii - 1, qv)
+                db[f"raw{r}"] = db[f"raw{r}"] + jnp.where(ird, subf, 0.0)
+                db[f"pbq{r}"] = db[f"pbq{r}"] + jnp.where(ird, subf * qconf, 0.0)
+                db[f"match{r}"] = db[f"match{r}"] + jnp.where(ird & eq, 1.0, 0.0)
+
+            # ---- vertical (insertion) ------------------------------------
+            v_open = Hb["val"] - (go + ge)
+            v_ext = Vb["val"] - ge
+            use_ext = v_ext >= v_open
+            vb = sel_bank(use_ext, Vb, Hb)
+            vb["val"] = jnp.maximum(v_open, v_ext)
+            vb["nm"] = vb["nm"] + 1
+            for r in range(R):
+                ins = ins_in[r]
+                vb[f"aligned{r}"] = vb[f"aligned{r}"] + ins.astype(jnp.int32)
+                vb[f"minbq{r}"] = jnp.where(
+                    ins, jnp.minimum(vb[f"minbq{r}"], qual_row), vb[f"minbq{r}"]
+                )
+                vb[f"pbq{r}"] = vb[f"pbq{r}"] + jnp.where(ins, jnp.float32(ge), 0.0)
+
+            # ---- H_tmp = max(diag, V), diag wins ties ---------------------
+            use_diag = db["val"] >= vb["val"]
+            tb = sel_bank(use_diag, db, vb)
+
+            # ---- F values: packed value+earliest-source prefix max --------
+            base = _shift1_blk(tb["val"], c0_cur["val"])  # H_tmp_full cols 0..Lt-1
+            packed = ((base + ramp + (1 << 17)) << 13) + (Lt - 1 - col_ids)
+            run = packed
+            for s in range(log_steps):
+                run = jnp.maximum(run, _shift_right(run, 1 << s, 0))
+            k_star = Lt - (run & ((1 << 13) - 1))
+            c_star = (run >> 13) - (1 << 17)
+            F_val = c_star - f_off
+
+            m = col_ids + 1 - k_star                 # source distance
+            f_wins = F_val > tb["val"]
+            ovf = ovf | ((f_wins & (m > D_MAX)).astype(jnp.int32))
+            rem = jnp.minimum(m, D_MAX)
+
+            # ---- descent: fetch companions from the gap-open column -------
+            fb = shift_bank(tb, c0_cur)
+            del fb["val"]
+            fb["nm"] = fb["nm"] - col_ids            # prime: ints exact
+            for r in range(R):
+                # pref0 at the source column rides the descent so overlap
+                # adds replicate the XLA engine's float op order exactly.
+                # Deleted lanes are [l-m, l] (gap length m+1): the plane is
+                # NOT pre-shifted, so after the m-shift it reads
+                # pref_excl(l-m) and overlap = #region lanes in [l-m, l].
+                fb[f"pref{r}"] = pref_excl[r]
+            for s in _DESC_BITS:
+                take = rem >= s
+                for k in fb:
+                    fb[k] = jnp.where(take, _shift_right(fb[k], s, 0), fb[k])
+                rem = rem - jnp.where(take, s, 0)
+            fb["val"] = F_val
+            fb["nm"] = fb["nm"] + col_ids + 1
+            c_src = col_ids - m                       # k*-1 (true, uncapped)
+            for r in range(R):
+                overlap = pref_incl[r] - fb[f"pref{r}"]
+                fb[f"aligned{r}"] = fb[f"aligned{r}"] + overlap
+                fb[f"pbq{r}"] = fb[f"pbq{r}"] + overlap.astype(jnp.float32) * jnp.float32(ge)
+                rbe = (c_src < ve_l[r]) & act_l[r]
+                fb[f"minbq{r}"] = jnp.where(
+                    rbe, jnp.minimum(fb[f"minbq{r}"], flank), fb[f"minbq{r}"]
+                )
+                vir = (vs_l[r] >= c_src) & (vs_l[r] < col_ids + 1) & act_l[r]
+                qv = fb[f"qv{r}"]
+                fb[f"qv{r}"] = jnp.where(vir & (qv < 0), ii, qv)
+                del fb[f"pref{r}"]
+
+            # ---- H = max(H_tmp, F), H_tmp wins ties -----------------------
+            use_tmp = tb["val"] >= F_val
+            hb = sel_bank(use_tmp, tb, fb)
+
+            hit = ii == q_lens                        # [B, 1]
+            Fb = sel_bank(hit, hb, Fb)                # final capture
+            return hb, {**vb}, Fb, ovf
+
+        def chunk_body(c, carry):
+            qblock = qT_ref[pl.ds(c * 8, 8), :]
+            qublock = quT_ref[pl.ds(c * 8, 8), :]
+            cblock = confT_ref[pl.ds(c * 8, 8), :]
+            fblock = flankT_ref[pl.ds(c * 8, 8), :]
+            mblock = minqpPT_ref[pl.ds(c * 8, 8), :]
+            for rr in range(8):
+                i = c * 8 + rr + 1
+                qi = qblock[rr, :][:, None]
+                qual = qublock[rr, :][:, None]
+                qc = cblock[rr, :][:, None]
+                fl = fblock[rr, :][:, None]
+                mq_prev = mblock[rr, :][:, None]
+                mq = jnp.minimum(mq_prev, qual)  # inclusive prefix min at i
+                carry = row_update(i, (qi, qual, qc, fl, mq, mq_prev), carry)
+            return carry
+
+        Hb, Vb, Fb, ovf = jax.lax.fori_loop(
+            0, Lq // 8, chunk_body, (H0, V0, F0, ovf0)
+        )
+
+        # ---- extraction at best valid target column ----------------------
+        t_valid = (col_ids + 1) <= t_lens
+        masked = jnp.where(t_valid, Fb["val"], NEG)
+        best = jnp.max(masked, axis=1, keepdims=True)
+        is_max = masked == best
+        first = jnp.min(jnp.where(is_max, col_ids, Lt), axis=1, keepdims=True)
+        all_neg = best == NEG
+        t_end = jnp.where(all_neg, 0, first + 1)
+        pick_mask = col_ids == first
+
+        def pick(plane, fill=0):
+            z = plane.dtype.type(0)
+            return jnp.sum(jnp.where(pick_mask, plane, z), axis=1, keepdims=True)
+
+        out_cols_i = {
+            ICOL_SCORE: jnp.where(all_neg, NEG, best),
+            ICOL_TEND: t_end,
+            ICOL_TSTART: pick(Fb["start"]),
+            ICOL_NM: pick(Fb["nm"]),
+            ICOL_OVF: jnp.max(ovf, axis=1, keepdims=True),
+        }
+        out_cols_f = {}
+        for r in range(R):
+            out_cols_i[ICOL_QV + r] = pick(Fb[f"qv{r}"])
+            out_cols_i[ICOL_ALIGNED + r] = pick(Fb[f"aligned{r}"])
+            out_cols_i[ICOL_MINBQ + r] = pick(Fb[f"minbq{r}"])
+            out_cols_f[FCOL_RAW + r] = pick(Fb[f"raw{r}"])
+            out_cols_f[FCOL_PBQ + r] = pick(Fb[f"pbq{r}"])
+            out_cols_f[FCOL_MATCH + r] = pick(Fb[f"match{r}"])
+
+        ocol_i = jax.lax.broadcasted_iota(jnp.int32, (B, IOUT_W), 1)
+        iacc = jnp.zeros((B, IOUT_W), jnp.int32)
+        for c, v in out_cols_i.items():
+            iacc = jnp.where(ocol_i == c, v, iacc)
+        ocol_f = jax.lax.broadcasted_iota(jnp.int32, (B, FOUT_W), 1)
+        facc = jnp.zeros((B, FOUT_W), jnp.float32)
+        for c, v in out_cols_f.items():
+            facc = jnp.where(ocol_f == c, v, facc)
+        iout_ref[:, :] = iacc
+        fout_ref[:, :] = facc
+
+    return kernel
+
+
+_CONF_TABLE = jnp.asarray(np.asarray(PHRED_TO_CONFIDENCE, np.float32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Lq", "Lt", "R", "b_tile", "interpret")
+)
+def _device_call(q_u8, qu_u8, t_u8, qlen, tlen, reg,
+                 Lq: int, Lt: int, R: int, b_tile: int,
+                 interpret: bool = False):
+    """Full on-device evidence dispatch: u8 inputs (4x less tunnel traffic),
+    the conf/flank/prefix-min row planes derived on device, then the Pallas
+    kernel. Returns trimmed (iout [B, IOUT_W] i32, fout [B, FOUT_W] f32)."""
+    qi = qu_u8.astype(jnp.int32)                      # [B, Lq]
+    conf = jnp.take(_CONF_TABLE, jnp.clip(qi, 0, 255))
+    B = t_u8.shape[0]
+    rows = jnp.arange(1, Lq + 1, dtype=jnp.int32)[None, :]
+    nxt = jnp.concatenate([qi[:, 1:], jnp.full((B, 1), 255, jnp.int32)], axis=1)
+    nxt = jnp.where(rows < qlen, nxt, 255)
+    flank = jnp.minimum(qi, nxt)
+    incl = jax.lax.associative_scan(jnp.minimum, qi, axis=1)
+    minqp = jnp.concatenate(
+        [jnp.full((B, 1), 255, jnp.int32), incl[:, :-1]], axis=1
+    )
+    return _run(
+        q_u8.astype(jnp.int32).T, qi.T, conf.T, flank.T, minqp.T,
+        qlen, t_u8.astype(jnp.int32), tlen, reg,
+        Lq=Lq, Lt=Lt, R=R, b_tile=b_tile, interpret=interpret,
+    )
+
+
+def _run(qT, quT, confT, flankT, minqpT, qlen, t, tlen, reg,
+         Lq: int, Lt: int, R: int, b_tile: int, interpret: bool = False):
+    B = t.shape[0]
+    grid = (B // b_tile,)
+    kernel = _make_kernel(Lq, Lt, R, READ_TO_HAP, b_tile)
+    iout, fout = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Lq, b_tile), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, b_tile), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, b_tile), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, b_tile), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, b_tile), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, Lt), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_tile, IOUT_W), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, FOUT_W), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, IOUT_W), jnp.int32),
+            jax.ShapeDtypeStruct((B, FOUT_W), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the DP state (3 banks x (3 + 6R) planes) + descent temporaries
+            # exceed the default 16M scoped-vmem cap; v5e has 128M physical
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(150 + 90 * R) * B * Lq * Lt,
+            bytes_accessed=B * (5 * Lq + Lt) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qT, quT, confT, flankT, minqpT, qlen, t, tlen, reg)
+    return iout, fout
+
+
+def _region_bucket(n: int) -> int:
+    return 1 if n <= 1 else 2
+
+
+def evidence_dp_pallas(queries, quals, q_lens, targets, t_lens, regions,
+                       p: AlignParams = READ_TO_HAP):
+    """Pallas evidence DP; numpy in/out matching ops.evidence_dp.evidence_dp,
+    plus an `overflow` bool array flagging pairs whose deletion-run descent
+    exceeded D_MAX (their other outputs are unreliable; re-run those on the
+    XLA engine for exactness — see evidence_dp_exact).
+
+    Inputs with >R_KERNEL_MAX active region slots run the DP once per
+    R_KERNEL_MAX-slot group (scalar outputs taken from the first group)."""
+    from lancet2_tpu.ops.evidence_dp import R_MAX
+
+    regions = np.asarray(regions, np.int32)
+    active = regions[:, :, 1] > regions[:, :, 0]
+    any_active = active.any(axis=0)
+    # active slots must be LEADING for the R-specialized kernel (they are:
+    # build_evidence_pairs fills region slots 0..n-1 per chunk)
+    n_active = int(np.flatnonzero(any_active).max()) + 1 if any_active.any() else 0
+    if n_active > R_KERNEL_MAX:
+        out = None
+        for lo in range(0, n_active, R_KERNEL_MAX):
+            n = min(R_KERNEL_MAX, n_active - lo)
+            sub_reg = np.zeros_like(regions)
+            sub_reg[:, :n] = regions[:, lo : lo + n]
+            sub = _evidence_dp_pallas_r(
+                queries, quals, q_lens, targets, t_lens, sub_reg, p
+            )
+            if out is None:
+                out = sub
+            else:
+                n = min(R_KERNEL_MAX, n_active - lo)
+                for k in ("qv", "aligned", "min_bq", "raw", "pbq", "matches"):
+                    out[k][:, lo : lo + n] = sub[k][:, :n]
+                out["overflow"] |= sub["overflow"]
+        return out
+    return _evidence_dp_pallas_r(queries, quals, q_lens, targets, t_lens, regions, p)
+
+
+def evidence_pairs_submit(queries, quals, q_lens, targets, t_lens, regions,
+                          p: AlignParams = READ_TO_HAP):
+    """Asynchronously dispatch one pair chunk to the device.
+
+    Returns (iout_dev, fout_dev, B, R): jax device arrays that have NOT been
+    transferred to host — the caller pipelines many chunk submissions and
+    pays the tunnel's device->host latency once per window batch
+    (evidence_pairs_finalize). Requires active region slots <= R_KERNEL_MAX.
+    """
+    if p != READ_TO_HAP:
+        raise NotImplementedError("pallas evidence kernel is specialized to READ_TO_HAP")
+    queries = np.asarray(queries, np.uint8)
+    quals = np.asarray(quals, np.uint8)
+    targets = np.asarray(targets, np.uint8)
+    q_lens = np.asarray(q_lens, np.int32)
+    t_lens = np.asarray(t_lens, np.int32)
+    regions = np.asarray(regions, np.int32)
+    B, Lq = queries.shape
+    Lt = targets.shape[1]
+
+    active = regions[:, :, 1] > regions[:, :, 0]
+    any_active = active.any(axis=0)
+    n_active = int(np.flatnonzero(any_active).max()) + 1 if any_active.any() else 0
+    assert n_active <= R_KERNEL_MAX
+    R = _region_bucket(max(1, n_active))
+    b_tile = B_TILE
+
+    qpad = (-Lq) % 8
+    if qpad:
+        queries = np.pad(queries, ((0, 0), (0, qpad)), constant_values=5)
+        quals = np.pad(quals, ((0, 0), (0, qpad)), constant_values=0)
+        Lq += qpad
+    tpad = (-Lt) % 128
+    if tpad:
+        targets = np.pad(targets, ((0, 0), (0, tpad)), constant_values=5)
+        Lt += tpad
+    bpad = (-B) % b_tile
+    if bpad:
+        queries = np.pad(queries, ((0, bpad), (0, 0)), constant_values=5)
+        quals = np.pad(quals, ((0, bpad), (0, 0)), constant_values=0)
+        targets = np.pad(targets, ((0, bpad), (0, 0)), constant_values=5)
+        q_lens = np.pad(q_lens, (0, bpad), constant_values=Lq)
+        t_lens = np.pad(t_lens, (0, bpad), constant_values=Lt)
+        regions = np.pad(regions, ((0, bpad), (0, 0), (0, 0)))
+    Bp = B + bpad
+
+    reg_packed = np.zeros((Bp, 128), np.int32)
+    reg_packed[:, 0:R] = regions[:, :R, 0]
+    reg_packed[:, 64 : 64 + R] = regions[:, :R, 1]
+
+    interpret = jax.default_backend() == "cpu"  # Mosaic needs real TPU
+    iout, fout = _device_call(
+        jnp.asarray(queries),
+        jnp.asarray(quals),
+        jnp.asarray(targets),
+        jnp.asarray(q_lens[:, None]),
+        jnp.asarray(t_lens[:, None]),
+        jnp.asarray(reg_packed),
+        Lq=Lq, Lt=Lt, R=R, b_tile=b_tile, interpret=interpret,
+    )
+    return iout, fout, B, R
+
+
+def evidence_pairs_finalize(iout, fout, B, R):
+    """Host-side unpack of one submitted chunk's outputs (numpy views)."""
+    from lancet2_tpu.ops.evidence_dp import R_MAX
+
+    iout = np.asarray(iout)[:B]
+    fout = np.asarray(fout)[:B]
+
+    def reg_out(base, arr, fill):
+        out = np.full((B, R_MAX), fill, arr.dtype)
+        out[:, :R] = arr[:, base : base + R]
+        return out
+
+    return {
+        "score": iout[:, ICOL_SCORE].copy(),
+        "t_end": iout[:, ICOL_TEND].copy(),
+        "t_start": iout[:, ICOL_TSTART].copy(),
+        "nm": iout[:, ICOL_NM].copy(),
+        "qv": reg_out(ICOL_QV, iout, -1),
+        "aligned": reg_out(ICOL_ALIGNED, iout, 0),
+        "min_bq": reg_out(ICOL_MINBQ, iout, 255),
+        "raw": reg_out(FCOL_RAW, fout, 0.0),
+        "pbq": reg_out(FCOL_PBQ, fout, 0.0),
+        "matches": reg_out(FCOL_MATCH, fout, 0.0),
+        "overflow": iout[:, ICOL_OVF].astype(bool),
+    }
+
+
+def _evidence_dp_pallas_r(queries, quals, q_lens, targets, t_lens, regions,
+                          p: AlignParams = READ_TO_HAP):
+    iout, fout, B, R = evidence_pairs_submit(
+        queries, quals, q_lens, targets, t_lens, regions, p
+    )
+    return evidence_pairs_finalize(iout, fout, B, R)
+
+
+def host_evidence_dp(queries, quals, q_lens, targets, t_lens, regions,
+                     p: AlignParams = READ_TO_HAP):
+    """The XLA-scan engine pinned to the HOST cpu backend: its per-row
+    gathers are pathologically slow through the TPU device path."""
+    from lancet2_tpu.ops.evidence_dp import evidence_dp
+
+    try:
+        cpu = jax.devices("cpu")[0]
+        ctx = jax.default_device(cpu)
+    except RuntimeError:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return evidence_dp(queries, quals, q_lens, targets, t_lens, regions, p)
+
+
+def evidence_dp_exact(queries, quals, q_lens, targets, t_lens, regions,
+                      p: AlignParams = READ_TO_HAP):
+    """Pallas fast path + XLA-engine fallback for descent-overflow pairs.
+
+    Bit-exact vs ops.evidence_dp.evidence_dp on every input (parity-tested);
+    the fallback re-runs only the (rare) flagged pairs.
+    """
+    out = evidence_dp_pallas(queries, quals, q_lens, targets, t_lens, regions, p)
+    ovf = out.pop("overflow")
+    if ovf.any():
+        idx = np.flatnonzero(ovf)
+        sub = host_evidence_dp(
+            np.asarray(queries)[idx], np.asarray(quals)[idx],
+            np.asarray(q_lens)[idx], np.asarray(targets)[idx],
+            np.asarray(t_lens)[idx], np.asarray(regions)[idx], p,
+        )
+        for k in out:
+            out[k][idx] = sub[k]
+    return out
