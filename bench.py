@@ -78,9 +78,9 @@ def bench_evidence_pallas():
     t = jnp.asarray(rng.integers(0, 4, (B, Lt)), jnp.uint8)
     ql = jnp.full((B, 1), Lq, jnp.int32)
     tl = jnp.full((B, 1), Lt, jnp.int32)
-    reg = np.zeros((B, 128), np.int32)
-    reg[:, 0], reg[:, 64] = 100, 106
-    reg[:, 1], reg[:, 65] = 300, 301
+    reg = np.zeros((B, 8), np.int32)
+    reg[:, 0], reg[:, 4] = 100, 106
+    reg[:, 1], reg[:, 5] = 300, 301
     reg = jnp.asarray(reg)
     interpret = jax.default_backend() == "cpu"
 

@@ -47,6 +47,8 @@ _PAIR_CHUNK = 512
 
 
 _TARGET_BUCKETS = (64, 128, 256, 384, 512, 768, 1024, 1280, 1536, 2048, 4096, 8192)
+_QUERY_BUCKETS = (160, 320, 640, 1280)
+_DEVICE_TARGET_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048, 4096, 8192)
 
 
 def _on_device() -> bool:
@@ -92,9 +94,14 @@ class Genotyper:
     or 'evidence' (traceback-free on-path-accumulator DP — the device
     formulation; see ops/evidence_dp.py)."""
 
-    def __init__(self, backend: str = "numpy", min_score_frac: float = 0.25):
+    def __init__(self, backend: str = "numpy", min_score_frac: float = 0.25,
+                 devices: list | None = None):
         self.backend = backend
         self.min_score_frac = min_score_frac
+        # multi-chip: evidence-DP chunks round-robin over these devices
+        # (windows/pairs are embarrassingly parallel — per-device streams,
+        # no collectives; record-identical to single-device, tested)
+        self.devices = devices
 
     # ------------------------------------------------------------------
     # evidence-DP backend: no CIGARs anywhere. Split into three phases so
@@ -184,14 +191,13 @@ class Genotyper:
         from lancet2_tpu.ops.evidence_dp import R_MAX
 
         n_pairs = hi - lo
-        bq = _bucket(max(len(s) for s in pair_q[lo:hi]), (160, 320, 640, 1280))
+        bq = _bucket(max(len(s) for s in pair_q[lo:hi]), _QUERY_BUCKETS)
         if on_device:
             # Mosaic compiles through the tunnel are expensive (minutes,
             # cached persistently): pin the pair-count bucket to the chunk
             # size and coarsen target buckets so only a handful of shapes
             # ever compile
-            bt = _bucket(max(len(s) for s in pair_t[lo:hi]),
-                         (256, 384, 512, 768, 1024, 1536, 2048, 4096, 8192))
+            bt = _bucket(max(len(s) for s in pair_t[lo:hi]), _DEVICE_TARGET_BUCKETS)
             bb = _PAIR_CHUNK
         else:
             bt = _bucket(max(len(s) for s in pair_t[lo:hi]), _TARGET_BUCKETS)
@@ -233,14 +239,33 @@ class Genotyper:
         return {k: np.concatenate(v) for k, v in outs.items()}
 
     def _run_evidence_pairs_device(self, pair_q, pair_qu, pair_t, pair_meta):
+        import contextlib
+
+        import jax
+
         from lancet2_tpu.ops.evidence_pallas import (
             R_KERNEL_MAX,
             evidence_pairs_finalize,
             evidence_pairs_submit,
         )
 
+        devices = self.devices
+        # partition pairs by active-region count (stable): the kernel is
+        # R-specialized and a single 2-region pair forces a whole chunk onto
+        # the ~1.7x-costlier R=2 kernel; outputs are inverse-permuted below
+        n_act = np.fromiter(
+            ((m[2][:, 1] > m[2][:, 0]).sum() for m in pair_meta),
+            count=len(pair_meta), dtype=np.int64,
+        )
+        order = np.argsort(n_act > 1, kind="stable")
+        if not np.array_equal(order, np.arange(len(order))):
+            pair_q = [pair_q[i] for i in order]
+            pair_qu = [pair_qu[i] for i in order]
+            pair_t = [pair_t[i] for i in order]
+            pair_meta = [pair_meta[i] for i in order]
+
         pending = []
-        for lo in range(0, len(pair_q), _PAIR_CHUNK):
+        for ci, lo in enumerate(range(0, len(pair_q), _PAIR_CHUNK)):
             hi = min(lo + _PAIR_CHUNK, len(pair_q))
             chunk = self._chunk_inputs(
                 pair_q, pair_qu, pair_t, pair_meta, lo, hi, on_device=True
@@ -252,7 +277,13 @@ class Genotyper:
                 # run this chunk through the splitting wrapper synchronously
                 pending.append(("sync", chunk, hi - lo))
                 continue
-            iout, fout, B, R = evidence_pairs_submit(*chunk)
+            ctx = (
+                jax.default_device(devices[ci % len(devices)])
+                if devices
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                iout, fout, B, R = evidence_pairs_submit(*chunk)
             pending.append(("async", (iout, fout, B, R, chunk), hi - lo))
 
         # start every device->host copy before reading any result
@@ -282,7 +313,9 @@ class Genotyper:
                         out[k][idx] = sub[k]
             for key, arr in out.items():
                 outs.setdefault(key, []).append(arr[:n_pairs])
-        return {k: np.concatenate(v) for k, v in outs.items()}
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return {k: np.concatenate(v)[inv] for k, v in outs.items()}
 
     def assemble_evidence(self, reads, variants, pair_meta, outs):
         """Phase 3: per-read allele assignment + VariantSupport assembly."""

@@ -32,9 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sub = parser.add_subparsers(dest="command", required=True)
 
-    ix = sub.add_parser("index", help="build a .bai/.csi index for a BAM "
-                                      "(htslib-compatible; see hts/bai.py, hts/csi.py)")
-    ix.add_argument("bam", help="coordinate-sorted BAM file")
+    ix = sub.add_parser("index", help="build a .bai/.csi index for a BAM, or "
+                                      "a .crai for a CRAM (htslib-compatible; "
+                                      "see hts/bai.py, hts/csi.py, hts/crai.py)")
+    ix.add_argument("bam", help="coordinate-sorted BAM or CRAM file")
     ix.add_argument("-o", "--output", default=None, help="output index path "
                                                          "(default: <bam>.bai/.csi)")
     ix.add_argument("--csi", action="store_true",
@@ -418,10 +419,17 @@ def main(argv=None) -> int:
         return 0
     if args.command == "index":
         from lancet2_tpu.hts.bai import build_bai
+        from lancet2_tpu.hts.bam import _is_cram
         from lancet2_tpu.hts.bgzf import BgzfError
         from lancet2_tpu.hts.csi import build_csi
 
         try:
+            if _is_cram(args.bam):
+                from lancet2_tpu.hts.crai import build_crai
+
+                build_crai(args.bam, args.output)
+                print(args.output or args.bam + ".crai")
+                return 0
             if args.csi:
                 out = build_csi(args.bam, args.output,
                                 min_shift=args.min_shift, depth=args.depth)

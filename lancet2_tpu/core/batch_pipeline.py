@@ -100,8 +100,16 @@ class BatchPipelineExecutor:
             return {"windows": 0, "flushed": 0}
         t_start = time.monotonic()
 
-        genotyper = Genotyper(backend="evidence")
+        import jax
+
         from lancet2_tpu.caller import genotyper as genotyper_mod
+
+        devices = (
+            list(jax.devices())
+            if jax.default_backend() in ("tpu", "axon")
+            else None
+        )
+        genotyper = Genotyper(backend="evidence", devices=devices)
 
         flushed = 0
         num_done = 0

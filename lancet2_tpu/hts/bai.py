@@ -34,6 +34,8 @@ from lancet2_tpu.hts.bam import (
 )
 from lancet2_tpu.hts.cigar import CONSUMES_REF
 
+from lancet2_tpu.hts.uri import hts_open
+
 BAI_MAGIC = b"BAI\x01"
 LINEAR_SHIFT = 14  # 16 kb linear-index windows
 META_BIN = 37450  # metadata pseudo-bin (SAM spec section 5.2)
@@ -120,7 +122,7 @@ class BaiIndex:
 
     @classmethod
     def load(cls, path: str) -> "BaiIndex":
-        data = open(path, "rb").read()
+        data = hts_open(path, "rb").read()
         if data[:4] != BAI_MAGIC:
             raise ValueError(f"{path} is not a BAI index")
         (n_ref,) = struct.unpack_from("<i", data, 4)
@@ -171,7 +173,7 @@ def build_bai(bam_path: str, out_path: str | None = None) -> str:
     block_ustarts = [0]
     block_coffsets = []
     chunks = []
-    with open(bam_path, "rb") as fh:
+    with hts_open(bam_path, "rb") as fh:
         while True:
             coffset = fh.tell()
             block = bgzf._read_block(fh)
@@ -331,7 +333,7 @@ class BamStreamReader:
     def __init__(self, path: str, bai_path: str | None = None,
                  cache_blocks: int = 512):
         self.path = path
-        self._fh = open(path, "rb")
+        self._fh = hts_open(path, "rb")
         self._cache = _LruBlockCache(self._fh, cache_blocks)
         buf = bytearray()
         coffset = 0

@@ -26,6 +26,8 @@ import numpy as np
 from lancet2_tpu.hts import bgzf
 from lancet2_tpu.hts.cigar import Cigar, cigar_to_str, CONSUMES_REF
 
+from lancet2_tpu.hts.uri import hts_open
+
 BAM_MAGIC = b"BAM\x01"
 
 # 4-bit nibble code -> ASCII base (SAM spec table).
@@ -224,7 +226,7 @@ def parse_bam_header(data) -> tuple[str, list[tuple[str, int]], int]:
 
 
 def _is_cram(path: str) -> bool:
-    with open(path, "rb") as fh:
+    with hts_open(path, "rb") as fh:
         return fh.read(4) == b"CRAM"
 
 
@@ -237,7 +239,7 @@ def read_bam_header(path: str) -> tuple[str, list[tuple[str, int]]]:
 
         return read_cram_header(path)
     buf = bytearray()
-    with open(path, "rb") as fh:
+    with hts_open(path, "rb") as fh:
         while True:
             block = bgzf._read_block(fh)
             if block is None:
@@ -279,7 +281,7 @@ class BamReader:
         self.path = path
         from lancet2_tpu.hts import native
 
-        raw = open(path, "rb").read()
+        raw = hts_open(path, "rb").read()
         data = native.bgzf_inflate(raw) if use_native else None
         if data is None:
             data = bgzf.decompress_file(path)

@@ -17,6 +17,8 @@ import io
 import struct
 import zlib
 
+from lancet2_tpu.hts.uri import hts_open
+
 BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000"
 )
@@ -69,7 +71,7 @@ def _read_block(fh) -> bytes | None:
 def decompress_file(path: str) -> bytes:
     """Inflate an entire BGZF file into one bytes object."""
     chunks = []
-    with open(path, "rb") as fh:
+    with hts_open(path, "rb") as fh:
         while True:
             block = _read_block(fh)
             if block is None:
@@ -96,7 +98,7 @@ class BgzfWriter(io.RawIOBase):
 
     def __init__(self, path_or_fh, level: int = 6):
         self._own = isinstance(path_or_fh, (str, bytes))
-        self._fh = open(path_or_fh, "wb") if self._own else path_or_fh
+        self._fh = hts_open(path_or_fh, "wb") if self._own else path_or_fh
         self._buf = bytearray()
         self._level = level
 

@@ -38,6 +38,8 @@ from lancet2_tpu.hts.bam import (
 )
 from lancet2_tpu.hts.cigar import CIGAR_OPS, CONSUMES_REF, Cigar
 
+from lancet2_tpu.hts.uri import hts_open
+
 CRAM_MAGIC = b"CRAM"
 
 # block compression methods
@@ -969,7 +971,7 @@ class CramReader:
         from lancet2_tpu.hts.fasta import Reference
 
         self.path = path
-        data = open(path, "rb").read()
+        data = hts_open(path, "rb").read()
         if data[:4] != CRAM_MAGIC:
             raise ValueError(f"{path}: not a CRAM file")
         self.major, self.minor = data[4], data[5]
@@ -989,42 +991,73 @@ class CramReader:
         self._name2rid = {n: i for i, (n, _) in enumerate(self.references)}
         self.sample_name = parse_sample_name(self.header_text)
 
-        self.records: list[BamRecord] = []
+        # Containers are scanned (headers only) here and DECODED LAZILY:
+        # region fetch() decodes only containers whose (ref_id, start1,
+        # span) overlap the query — bounded memory on multi-GB CRAMs
+        # (reference: htslib's .crai-indexed cram_seek path). The container
+        # table carries the same fields a .crai line does (hts/crai.py).
+        self._data = data
+        self._containers: list[tuple[int, ContainerHeader, int]] = []
         counter = 0
         while p < len(data):
             ch, q = ContainerHeader.parse(data, p)
             if ch.ref_id == -1 and ch.nrecords == 0 and ch.start1 == 4542278:
                 break  # EOF container
-            end = q + ch.length
-            blocks = []
-            bp = q
-            while bp < end:
-                blk, bp = Block.parse(data, bp)
-                blocks.append(blk)
-            comp = CompressionHeader.parse(blocks[0].data)
-            bi = 1
-            while bi < len(blocks):
-                sh = SliceHeader.parse(blocks[bi].data)
-                core = b""
-                ext: dict[int, bytes] = {}
-                for blk in blocks[bi + 1: bi + 1 + sh.nblocks]:
-                    if blk.content_type == CT_CORE:
-                        core = blk.data
-                    else:
-                        ext[blk.content_id] = blk.data
-                sh.counter = sh.counter or counter
-                embedded = None
-                if sh.embedded_ref >= 0 and sh.embedded_ref in ext:
-                    embedded = (sh.start1, ext[sh.embedded_ref].decode())
-                dec = _SliceDecoder(
-                    comp, sh, core, ext,
-                    self._make_ref_lookup(embedded), [n for n, _ in self.references],
-                )
-                self.records.extend(dec.decode_records())
-                counter += sh.nrecords
-                bi += 1 + sh.nblocks
-            p = end
-        self._by_contig: dict[int, tuple] | None = None
+            base = ch.counter if ch.counter else counter
+            self._containers.append((p, ch, base))
+            counter = base + ch.nrecords
+            p = q + ch.length
+        self._decoded: dict[int, list[BamRecord]] = {}
+        self._records: list[BamRecord] | None = None
+
+    def _decode_container(self, ci: int) -> list[BamRecord]:
+        cached = self._decoded.get(ci)
+        if cached is not None:
+            return cached
+        data = self._data
+        p, ch, counter = self._containers[ci]
+        _, q = ContainerHeader.parse(data, p)
+        end = q + ch.length
+        blocks = []
+        bp = q
+        while bp < end:
+            blk, bp = Block.parse(data, bp)
+            blocks.append(blk)
+        comp = CompressionHeader.parse(blocks[0].data)
+        records: list[BamRecord] = []
+        bi = 1
+        while bi < len(blocks):
+            sh = SliceHeader.parse(blocks[bi].data)
+            core = b""
+            ext: dict[int, bytes] = {}
+            for blk in blocks[bi + 1: bi + 1 + sh.nblocks]:
+                if blk.content_type == CT_CORE:
+                    core = blk.data
+                else:
+                    ext[blk.content_id] = blk.data
+            sh.counter = sh.counter or counter
+            embedded = None
+            if sh.embedded_ref >= 0 and sh.embedded_ref in ext:
+                embedded = (sh.start1, ext[sh.embedded_ref].decode())
+            dec = _SliceDecoder(
+                comp, sh, core, ext,
+                self._make_ref_lookup(embedded), [n for n, _ in self.references],
+            )
+            records.extend(dec.decode_records())
+            counter += sh.nrecords
+            bi += 1 + sh.nblocks
+        self._decoded[ci] = records
+        return records
+
+    @property
+    def records(self) -> list[BamRecord]:
+        """All records (decodes every container on first access)."""
+        if self._records is None:
+            out: list[BamRecord] = []
+            for ci in range(len(self._containers)):
+                out.extend(self._decode_container(ci))
+            self._records = out
+        return self._records
 
     def _make_ref_lookup(self, embedded):
         def lookup(rid: int, start1: int, end1: int) -> str:
@@ -1049,35 +1082,30 @@ class CramReader:
     def all_records(self) -> list[BamRecord]:
         return self.records
 
-    def _build_index(self) -> None:
-        by: dict[int, list[int]] = {}
-        for i, r in enumerate(self.records):
-            by.setdefault(r.ref_id, []).append(i)
-        self._by_contig = {}
-        for rid, idxs in by.items():
-            idxs.sort(key=lambda i: self.records[i].pos0)
-            starts = np.array([self.records[i].pos0 for i in idxs], np.int64)
-            ends = np.array([self.records[i].reference_end0() for i in idxs], np.int64)
-            run_max = np.maximum.accumulate(ends)
-            self._by_contig[rid] = (starts, run_max, ends, idxs)
-
     def fetch(self, chrom: str, start1: int, end1: int) -> list[BamRecord]:
-        if self._by_contig is None:
-            self._build_index()
+        """Region fetch decoding ONLY containers whose header span overlaps
+        the query (multi-ref containers, ref_id == -2, are always decoded —
+        their span is unknown until decode)."""
         rid = self._name2rid.get(chrom)
-        entry = self._by_contig.get(rid)
-        if entry is None:
+        if rid is None:
             return []
-        starts, run_max, ends, idxs = entry
         lo0, hi0 = start1 - 1, end1
-        hi_idx = int(np.searchsorted(starts, hi0, side="left"))
-        out = []
-        for i in range(hi_idx - 1, -1, -1):
-            if run_max[i] <= lo0:
-                break
-            if ends[i] > lo0:
-                out.append(self.records[idxs[i]])
-        out.reverse()
+        recs: list[BamRecord] = []
+        for ci, (_p, ch, _base) in enumerate(self._containers):
+            if ch.ref_id == -2:
+                recs.extend(self._decode_container(ci))
+                continue
+            if ch.ref_id != rid:
+                continue
+            c_lo0 = ch.start1 - 1
+            if c_lo0 + ch.span <= lo0 or c_lo0 >= hi0:
+                continue
+            recs.extend(self._decode_container(ci))
+        out = [
+            r for r in recs
+            if r.ref_id == rid and r.pos0 < hi0 and r.reference_end0() > lo0
+        ]
+        out.sort(key=lambda r: r.pos0)  # stable: file order preserved on ties
         return out
 
     def close(self) -> None:

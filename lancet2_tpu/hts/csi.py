@@ -20,6 +20,8 @@ from lancet2_tpu.hts import bgzf
 from lancet2_tpu.hts.bai import _record_end0
 from lancet2_tpu.hts.bam import parse_bam_header
 
+from lancet2_tpu.hts.uri import hts_open
+
 CSI_MAGIC = b"CSI\x01"
 
 
@@ -153,7 +155,7 @@ def build_csi(bam_path: str, out_path: str | None = None,
     block_ustarts = [0]
     block_coffsets = []
     parts = []
-    with open(bam_path, "rb") as fh:
+    with hts_open(bam_path, "rb") as fh:
         while True:
             coffset = fh.tell()
             block = bgzf._read_block(fh)

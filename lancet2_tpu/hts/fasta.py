@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+from lancet2_tpu.hts.uri import hts_open
+
 
 @dataclass(frozen=True)
 class ChromInfo:
@@ -35,13 +37,13 @@ class Reference:
             write_fai(path)
         self._chroms: list[ChromInfo] = []
         self._by_name: dict[str, ChromInfo] = {}
-        with open(fai) as fh:
+        with hts_open(fai, "r") as fh:
             for idx, line in enumerate(fh):
                 name, length, offset, line_bases, line_width = line.rstrip("\n").split("\t")[:5]
                 info = ChromInfo(name, int(length), int(offset), int(line_bases), int(line_width), idx)
                 self._chroms.append(info)
                 self._by_name[name] = info
-        self._fh = open(path, "rb")
+        self._fh = hts_open(path, "rb")
 
     def list_chroms(self) -> list[ChromInfo]:
         return list(self._chroms)

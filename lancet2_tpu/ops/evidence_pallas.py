@@ -108,7 +108,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
         vs_l, ve_l, act_l, in0_l = [], [], [], []
         for r in range(R):
             vs = reg_ref[:, r : r + 1]          # [B, 1]
-            ve = reg_ref[:, 64 + r : 64 + r + 1]
+            ve = reg_ref[:, 4 + r : 4 + r + 1]
             active = ve > vs
             vs_l.append(vs); ve_l.append(ve); act_l.append(active)
             in0_l.append((vs <= 0) & (ve > 0) & active)
@@ -389,7 +389,7 @@ def _run(qT, quT, confT, flankT, minqpT, qlen, t, tlen, reg,
             pl.BlockSpec((b_tile, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, Lt), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 8), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((b_tile, IOUT_W), lambda b: (b, 0), memory_space=pltpu.VMEM),
@@ -501,9 +501,11 @@ def evidence_pairs_submit(queries, quals, q_lens, targets, t_lens, regions,
         regions = np.pad(regions, ((0, bpad), (0, 0), (0, 0)))
     Bp = B + bpad
 
-    reg_packed = np.zeros((Bp, 128), np.int32)
+    # [B, 8] packed (starts in 0..3, ends in 4..7): a [B, 128] layout would
+    # ship 1 MB per 2048-pair chunk through the tunnel for <=4 scalars/pair
+    reg_packed = np.zeros((Bp, 8), np.int32)
     reg_packed[:, 0:R] = regions[:, :R, 0]
-    reg_packed[:, 64 : 64 + R] = regions[:, :R, 1]
+    reg_packed[:, 4 : 4 + R] = regions[:, :R, 1]
 
     interpret = jax.default_backend() == "cpu"  # Mosaic needs real TPU
     iout, fout = _device_call(

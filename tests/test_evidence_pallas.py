@@ -187,3 +187,12 @@ def test_pipelined_genotyper_device_path(monkeypatch):
     monkeypatch.setattr(gmod, "_on_device", lambda: True)
     got = g.run_evidence_pairs(pair_q, pair_qu, pair_t, pair_meta)
     _assert_equal(ref, got, "pipelined")
+
+    # multi-chip: chunks round-robined over the 8 virtual CPU devices must
+    # be record-identical to the single-device path
+    import jax
+
+    g_multi = gmod.Genotyper(backend="evidence", devices=list(jax.devices()))
+    assert len(g_multi.devices) >= 2
+    got_multi = g_multi.run_evidence_pairs(pair_q, pair_qu, pair_t, pair_meta)
+    _assert_equal(ref, got_multi, "multi-device")
