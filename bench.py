@@ -164,7 +164,7 @@ def main():
 
     device = jax.devices()[0]
     sw_gcups, sw_dt = bench_sw_kernel()
-    ev_gcups, ev_dt = bench_evidence_dp()
+    ev_gcups, ev_dt = bench_evidence_pallas()
     win_per_s, step_gcups, step_dt = bench_window_step()
 
     baseline_64t_windows_per_s = 154.0  # 2.4 win/s/core x 64 (BASELINE.md)

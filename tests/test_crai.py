@@ -21,7 +21,7 @@ def cram_fixture(tmp_path_factory):
 
     ref = random_reference(30000, seed=13)
     fasta = str(tmp / "ref.fa")
-    write_fasta(fasta, [("chrS", ref)])
+    write_fasta(fasta, {"chrS": ref})
 
     sim = ReadSimulator(ref, seed=13)
 
