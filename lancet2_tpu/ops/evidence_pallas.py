@@ -12,9 +12,16 @@ loop and replaces the gathers with shift/select forms:
   * deletion COMPANIONS (the accumulators that must be fetched from the
     gap-opening column): a capped binary descent — shift each companion
     plane right by the bits of the per-lane source distance (D_MAX = 31).
-    Runs whose distance exceeds the cap AND would win the cell raise a
-    per-pair `overflow` flag; the wrapper re-runs flagged pairs on the XLA
+    Cells whose distance exceeds the cap get a TAINT mark that rides the
+    companion banks like every other accumulator; a pair's `overflow` flag
+    is set only when the finally-extracted cell's companion lineage passed
+    through a capped descent (the F VALUES are exact regardless — the
+    packed prefix-max needs no descent). Flagged pairs re-run on the XLA
     engine, so combined results are bit-exact ALWAYS (parity-tested).
+    Flagging per-lineage instead of per-plane-cell matters: fitting DP
+    planes are full of garbage cells where long deletions "win" locally
+    (real-pipeline chunks measured 94% falsely flagged under the old
+    any-cell rule, collapsing the TPU path into the host fallback).
 
 Float accumulators replicate the XLA engine's operation order exactly
 (e.g. deletion-run pbq adds `overlap * ge` to the fetched value rather than
@@ -144,10 +151,10 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             jnp.zeros((B, Lt), jnp.int32), col_ids + 1,
             jnp.zeros((B, Lt), jnp.int32), zero_reg(),
         )
+        H0["taint"] = jnp.zeros((B, Lt), jnp.int32)
         V0 = dict(H0)
         V0["val"] = jnp.full((B, Lt), NEG, jnp.int32)
         F0 = dict(H0)
-        ovf0 = jnp.zeros((B, Lt), jnp.int32)
 
         def col0_bank(i, minqp):
             """Column-0 accumulator scalars of row i ([B,1] each)."""
@@ -155,6 +162,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
                 "val": jnp.broadcast_to(jnp.int32(-(go)) - ge * i, (B, 1)),
                 "start": jnp.zeros((B, 1), jnp.int32),
                 "nm": jnp.broadcast_to(i.astype(jnp.int32), (B, 1)),
+                "taint": jnp.zeros((B, 1), jnp.int32),
             }
             for r in range(R):
                 d[f"qv{r}"] = jnp.full((B, 1), -1, jnp.int32)
@@ -171,7 +179,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             return {k: _shift1_blk(bank[k], c0[k]) for k in bank}
 
         def row_update(i, row_data, carry):
-            Hb, Vb, Fb, ovf = carry
+            Hb, Vb, Fb = carry
             qi, qual_row, qconf, flank, minqp, minqp_prev = row_data  # [B,1] each
             ii = jnp.int32(i) if isinstance(i, int) else i
 
@@ -233,8 +241,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             F_val = c_star - f_off
 
             m = col_ids + 1 - k_star                 # source distance
-            f_wins = F_val > tb["val"]
-            ovf = ovf | ((f_wins & (m > D_MAX)).astype(jnp.int32))
+            capped = (m > D_MAX).astype(jnp.int32)
             rem = jnp.minimum(m, D_MAX)
 
             # ---- descent: fetch companions from the gap-open column -------
@@ -255,6 +262,9 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
                 rem = rem - jnp.where(take, s, 0)
             fb["val"] = F_val
             fb["nm"] = fb["nm"] + col_ids + 1
+            # capped descent fetched companions (incl. taint) from the wrong
+            # column: mark this cell's lineage corrupted
+            fb["taint"] = fb["taint"] | capped
             c_src = col_ids - m                       # k*-1 (true, uncapped)
             for r in range(R):
                 overlap = pref_incl[r] - fb[f"pref{r}"]
@@ -275,7 +285,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
 
             hit = ii == q_lens                        # [B, 1]
             Fb = sel_bank(hit, hb, Fb)                # final capture
-            return hb, {**vb}, Fb, ovf
+            return hb, {**vb}, Fb
 
         def chunk_body(c, carry):
             qblock = qT_ref[pl.ds(c * 8, 8), :]
@@ -294,8 +304,8 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
                 carry = row_update(i, (qi, qual, qc, fl, mq, mq_prev), carry)
             return carry
 
-        Hb, Vb, Fb, ovf = jax.lax.fori_loop(
-            0, Lq // 8, chunk_body, (H0, V0, F0, ovf0)
+        Hb, Vb, Fb = jax.lax.fori_loop(
+            0, Lq // 8, chunk_body, (H0, V0, F0)
         )
 
         # ---- extraction at best valid target column ----------------------
@@ -317,7 +327,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             ICOL_TEND: t_end,
             ICOL_TSTART: pick(Fb["start"]),
             ICOL_NM: pick(Fb["nm"]),
-            ICOL_OVF: jnp.max(ovf, axis=1, keepdims=True),
+            ICOL_OVF: pick(Fb["taint"]),
         }
         out_cols_f = {}
         for r in range(R):
@@ -558,8 +568,28 @@ def _evidence_dp_pallas_r(queries, quals, q_lens, targets, t_lens, regions,
 def host_evidence_dp(queries, quals, q_lens, targets, t_lens, regions,
                      p: AlignParams = READ_TO_HAP):
     """The XLA-scan engine pinned to the HOST cpu backend: its per-row
-    gathers are pathologically slow through the TPU device path."""
+    gathers are pathologically slow through the TPU device path.
+
+    The batch dim is bucketed before dispatch: callers pass arbitrary
+    overflow-index subsets, and an exact-B executable per subset size would
+    mint a fresh (never-cached) XLA CPU compile per call."""
     from lancet2_tpu.ops.evidence_dp import evidence_dp
+
+    queries = np.asarray(queries)
+    B = queries.shape[0]
+    Bb = B
+    for b in (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096):
+        if B <= b:
+            Bb = b
+            break
+    if Bb != B:
+        pad = Bb - B
+        queries = np.pad(queries, ((0, pad), (0, 0)), constant_values=5)
+        quals = np.pad(np.asarray(quals), ((0, pad), (0, 0)))
+        q_lens = np.pad(np.asarray(q_lens), (0, pad), constant_values=1)
+        targets = np.pad(np.asarray(targets), ((0, pad), (0, 0)), constant_values=5)
+        t_lens = np.pad(np.asarray(t_lens), (0, pad), constant_values=1)
+        regions = np.pad(np.asarray(regions), ((0, pad), (0, 0), (0, 0)))
 
     try:
         cpu = jax.devices("cpu")[0]
@@ -569,7 +599,10 @@ def host_evidence_dp(queries, quals, q_lens, targets, t_lens, regions,
 
         ctx = contextlib.nullcontext()
     with ctx:
-        return evidence_dp(queries, quals, q_lens, targets, t_lens, regions, p)
+        out = evidence_dp(queries, quals, q_lens, targets, t_lens, regions, p)
+    if Bb != B:
+        out = {k: v[:B] for k, v in out.items()}
+    return out
 
 
 def evidence_dp_exact(queries, quals, q_lens, targets, t_lens, regions,
