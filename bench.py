@@ -1,30 +1,89 @@
-"""Benchmark: device window-step throughput + alignment-kernel GCUPS.
+"""Driver-facing benchmark. Headline = END-TO-END pipeline windows/s on TPU.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Measurement note: through the axon TPU tunnel, `block_until_ready` does not
-reliably wait for device completion, so both benches run K iterations inside
-one jitted `lax.scan` with an explicit data dependency between iterations
-(the previous output perturbs the next input) and a single host transfer at
-the end. Per-iteration time = total / K, with the one-off RTT amortized.
+Headline: a chr-scale simulated tumor/normal run (LANCET2_BENCH_E2E_KB kb of
+reference, default 100 => ~124 windows, somatic SNV/INS/DEL every ~1.7 kb)
+through the full CLI pipeline — BAM decode, gating, assembly, fused
+device evidence DP (Pallas), feature math, bgzip VCF — via the batch
+executor on the TPU. A small warmup region runs first so the one-time
+Mosaic kernel compiles (~1-4 min/shape through the TPU tunnel; the tunnel
+backend does not reuse persisted executables) are excluded, then the timed
+run executes TWICE and reports both (run-to-run stability is part of the
+deliverable). vs_baseline = windows/s / 154 (the reference's 64-thread CPU
+baseline: 2.4 windows/s/core at 414 ms/window, BASELINE.md).
 
-Baseline (BASELINE.md): the reference CPU caller averages 414 ms/window
-=> ~2.4 windows/s/core, ~154 windows/s for the 64-thread baseline in the
-driver's north star. Headline metric = device-compute windows/s/chip of the
-batched window step (all read x haplotype glocal DP + allele counting + DM
-genotyping); vs_baseline = value / 154.
+Extras: Pallas kernel rates measured via chained-scan timing (each
+iteration's output perturbs the next input, so XLA cannot dead-code-
+eliminate any output lane, and the single host transfer amortizes the
+tunnel RTT):
+  * sw_kernel_gcups       score-only fitting-DP Mosaic kernel
+  * evidence_gcups        the full evidence kernel the executor dispatches
+  * graph_build           device k-mer pass (ops/graph_tpu.py) window rate
+  * window_step           the synthetic fused window step (upper bound,
+                          not the production path — kept for trend only)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 CHAIN_K = 16
 
+
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.path.expanduser("~/.cache/lancet2_tpu/xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# headline: end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+def bench_e2e_pipeline(ref_kb: int, threads: int = 8):
+    """Warmup + two timed full-pipeline runs; returns (stats1, stats2, fx)."""
+    from lancet2_tpu.cli.main import build_parser, run_pipeline
+    from lancet2_tpu.utils.simulate import make_chr_scale_fixture
+
+    cache_dir = os.path.expanduser("~/.cache/lancet2_tpu/fixtures")
+    os.makedirs(cache_dir, exist_ok=True)
+    fx = make_chr_scale_fixture(ref_kb, cache_dir)
+    out_vcf = os.path.join(cache_dir, "bench_out.vcf.gz")
+
+    def run(region=None):
+        argv = [
+            "pipeline",
+            "-n", fx["normal"], "-t", fx["tumor"], "-r", fx["fasta"],
+            "-o", out_vcf,
+            "--executor", "batch", "--device", "tpu",
+            "-T", str(threads),
+        ]
+        if region:
+            argv += ["-R", region]
+        parsed = build_parser().parse_args(argv)
+        return run_pipeline(parsed, "bench " + " ".join(argv))
+
+    run(region=f"{fx['chrom']}:1-12000")  # warmup: compile device kernels
+    s1 = run()
+    s2 = run()
+    return s1, s2, fx
+
+
+# ---------------------------------------------------------------------------
+# kernel extras
+# ---------------------------------------------------------------------------
 
 def bench_sw_kernel():
     """Amortized fitting-DP GCUPS over a chained-scan of CHAIN_K aligns
@@ -41,7 +100,6 @@ def bench_sw_kernel():
             s, _te = fitting_scores_device(
                 carry.T.astype(jnp.int32), ql[:, None], t, tl[:, None], Lq, Lt
             )
-            # fold the score into the next query -> sequential dependency
             nxt = (carry + (s[:, None] & 1).astype(jnp.uint8)) % 4
             return nxt, s[0]
         _, ss = jax.lax.scan(body, q, None, length=CHAIN_K)
@@ -104,8 +162,41 @@ def bench_evidence_pallas():
     return B * Lq * Lt / per / 1e9, per
 
 
+def bench_graph_build():
+    """Device k-mer graph-construction pass (ops/graph_tpu.py) at a
+    realistic window shape: ref 2 kb + 1024 reads of 151 bp, k=25.
+    Reports windows/s of the construction pass alone (the reference's
+    Graph::BuildGraph is 23.4% cumulative CPU)."""
+    import jax
+
+    from lancet2_tpu.base.hashing import hash_str64
+    from lancet2_tpu.ops.graph_tpu import build_graph_device
+
+    rng = np.random.default_rng(3)
+    S, L, k = 1024, 151, 25
+    ref = rng.integers(0, 4, 2001).astype(np.uint8)
+    seqs = [ref] + [rng.integers(0, 4, L).astype(np.uint8) for _ in range(S)]
+    quals = [None] + [np.full(L, 35, np.uint8) for _ in range(S)]
+    meta = [(1, -1, 0, 0)] + [
+        (4 if i % 2 else 2, i % 2, 4 if i % 2 else 2,
+         hash_str64(f"r{i}") & 0xFFFFFFFFFFFFFFFF)
+        for i in range(S)
+    ]
+    t0 = time.perf_counter()
+    out = build_graph_device(seqs, quals, meta, k, 2)
+    compile_s = time.perf_counter() - t0
+    K = 8
+    t0 = time.perf_counter()
+    for _ in range(K):
+        out = build_graph_device(seqs, quals, meta, k, 2)
+    per = (time.perf_counter() - t0) / K
+    return 1.0 / per, per, compile_s, int(out["ids"].size)
+
+
 def bench_window_step():
-    """Amortized device window-step throughput on a representative shape."""
+    """Amortized device window-step throughput on a representative shape
+    (synthetic fused step — an upper bound, NOT the production VCF path;
+    kept as a trend metric only)."""
     import jax
     import jax.numpy as jnp
 
@@ -138,51 +229,63 @@ def bench_window_step():
     t0 = time.perf_counter()
     np.asarray(fn(batch["reads"], *args_static))
     per_step = (time.perf_counter() - t0) / CHAIN_K
-    lb = -(-(L + 2 * MARGIN) // 128) * 128  # banded DP width
-    cells = W * R * H * L * min(lb, LH)
-    return W / per_step, cells / per_step / 1e9, per_step
-
-
-def _enable_compile_cache():
-    import os
-
-    import jax
-
-    cache_dir = os.path.expanduser("~/.cache/lancet2_tpu/xla")
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    return W / per_step, per_step
 
 
 def main():
     import jax
 
     _enable_compile_cache()
-
     device = jax.devices()[0]
+
+    ref_kb = int(os.environ.get("LANCET2_BENCH_E2E_KB", "100"))
+    threads = int(os.environ.get("LANCET2_BENCH_THREADS", "8"))
+    s1, s2, fx = bench_e2e_pipeline(ref_kb, threads)
+    win_per_s = s2.get("windows_per_s", 0.0)
+    run1 = s1.get("windows_per_s", 0.0)
+    stability = abs(run1 - win_per_s) / max(win_per_s, 1e-9)
+
     sw_gcups, sw_dt = bench_sw_kernel()
     ev_gcups, ev_dt = bench_evidence_pallas()
-    win_per_s, step_gcups, step_dt = bench_window_step()
+    gb_win_s, gb_dt, gb_compile, gb_nodes = bench_graph_build()
+    step_win_s, step_dt = bench_window_step()
+
+    stage = s2.get("stage_profile") or {}
+    device_pct = sum(
+        v.get("pct", 0.0) for k, v in stage.items() if "device" in k
+    )
 
     baseline_64t_windows_per_s = 154.0  # 2.4 win/s/core x 64 (BASELINE.md)
     result = {
-        "metric": "microassembly_device_windows_per_s_per_chip",
-        "value": round(win_per_s, 2),
+        "metric": "e2e_pipeline_windows_per_s",
+        "value": round(win_per_s, 3),
         "unit": "windows/s",
-        "vs_baseline": round(win_per_s / baseline_64t_windows_per_s, 3),
+        "vs_baseline": round(win_per_s / baseline_64t_windows_per_s, 4),
         "extra": {
             "device": str(device),
+            "e2e": {
+                "ref_kb": ref_kb,
+                "windows": s2.get("windows"),
+                "runtime_s": round(s2.get("runtime_s", 0.0), 2),
+                "run1_windows_per_s": round(run1, 3),
+                "run2_windows_per_s": round(win_per_s, 3),
+                "run_to_run_delta_pct": round(stability * 100, 1),
+                "stage_pct": {k: v.get("pct") for k, v in stage.items()},
+                "genotype_device_share_pct": round(device_pct, 1),
+                "status_counts": s2.get("status_counts"),
+                "peak_rss_mb": round(s2.get("peak_rss_mb", 0.0), 1),
+            },
             "sw_kernel_gcups": round(sw_gcups, 2),
-            "sw_kernel_ms_per_batch": round(sw_dt * 1e3, 2),
-            "evidence_dp_gcups": round(ev_gcups, 2),
-            "evidence_dp_ms_per_batch": round(ev_dt * 1e3, 2),
-            "window_step_gcups": round(step_gcups, 2),
-            "window_step_ms": round(step_dt * 1e3, 2),
-            "window_step_shape": "W16xR128xH4 (128bp reads, 512bp haps, 256-col band)",
-            "note": "device compute path only (banded batched DP + allele counts + DM PLs); host BAM IO not included; chained-scan timing; GCUPS counts banded cells",
+            "evidence_kernel_gcups": round(ev_gcups, 2),
+            "evidence_kernel_ms_per_2048pair_chunk": round(ev_dt * 1e3, 2),
+            "graph_build_device_windows_per_s": round(gb_win_s, 2),
+            "graph_build_device_ms": round(gb_dt * 1e3, 1),
+            "graph_build_nodes": gb_nodes,
+            "window_step_windows_per_s": round(step_win_s, 2),
+            "note": "headline = full pipeline (BAM decode -> assembly -> "
+                    "Pallas evidence DP -> VCF) on TPU, batch executor, "
+                    "warm kernels, second of two timed runs; baseline = "
+                    "154 win/s (64-thread reference CPU)",
         },
     }
     print(json.dumps(result))

@@ -70,6 +70,16 @@ def _ensure_lib():
             _i64p, _i64p, _i64p,
             _i32p, _i32p, ctypes.c_int64, _i64p,
         ]
+        lib.l2t_prune_component.restype = ctypes.c_int64
+        lib.l2t_prune_component.argtypes = [
+            ctypes.c_int64, _u64p, _u8p, _i64p, _u8p, _u8p,  # n, nids, seq, off, sign, label
+            _i64p, _i64p, _u64p, _u8p, _i64p,                # counts, roles, e_dst, e_kind, e_off
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # k, num_samples, min_node_cov
+            ctypes.c_uint64, ctypes.c_uint64,                # source_id, sink_id
+            _u8p, _u8p, _i64p, _u8p, _u8p,                   # alive, seq, seq_off, sign, label
+            _i64p, _i64p, _u64p, _u8p, _i64p,                # counts, roles, e_dst, e_kind, e_off
+            ctypes.c_int64, ctypes.c_int64,                  # cap_seq, cap_edges
+        ]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -133,6 +143,66 @@ def kmer_pass(codes, offsets, quals, labels, is_read, sample_idx, tags, qhash,
         "survives": u_survives[:n_uniq].astype(bool),
         "edge_src": e_src[:ne],
         "edge_dst": e_dst[:ne],
+    }
+
+
+def prune_component(nids, seq_codes, seq_off, signs, labels, counts, roles,
+                    e_dst, e_kind, e_off, k: int, num_samples: int,
+                    min_node_cov: int, source_id: int, sink_id: int):
+    """Native twin of cbdg.graph.Graph._prune_component (compress -> lowcov
+    -> compress -> tips) over one component's flat node/edge arrays.
+
+    Returns None when native is unavailable, else a dict with `alive` flags
+    (per input node, table order) and compacted survivor arrays."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    nids = np.ascontiguousarray(nids, np.uint64)
+    seq_codes = np.ascontiguousarray(seq_codes, np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    e_off = np.ascontiguousarray(e_off, np.int64)
+    n_nodes = len(nids)
+    n_edges = int(e_off[-1])
+    cap_seq = int(seq_off[-1])
+    cap_edges = max(n_edges, 1)
+
+    out_alive = np.zeros(n_nodes, np.uint8)
+    out_seq = np.empty(max(cap_seq, 1), np.uint8)
+    out_seq_off = np.zeros(n_nodes + 1, np.int64)
+    out_sign = np.empty(max(n_nodes, 1), np.uint8)
+    out_label = np.empty(max(n_nodes, 1), np.uint8)
+    out_counts = np.empty(max(n_nodes * num_samples, 1), np.int64)
+    out_roles = np.empty(max(n_nodes * 2, 1), np.int64)
+    out_e_dst = np.empty(cap_edges, np.uint64)
+    out_e_kind = np.empty(cap_edges, np.uint8)
+    out_e_off = np.zeros(n_nodes + 1, np.int64)
+
+    n_out = lib.l2t_prune_component(
+        n_nodes, nids, seq_codes, seq_off,
+        np.ascontiguousarray(signs, np.uint8),
+        np.ascontiguousarray(labels, np.uint8),
+        np.ascontiguousarray(counts, np.int64),
+        np.ascontiguousarray(roles, np.int64),
+        np.ascontiguousarray(e_dst, np.uint64),
+        np.ascontiguousarray(e_kind, np.uint8),
+        e_off, k, num_samples, min_node_cov, source_id, sink_id,
+        out_alive, out_seq, out_seq_off, out_sign, out_label,
+        out_counts, out_roles, out_e_dst, out_e_kind, out_e_off,
+        int(cap_seq), int(cap_edges),
+    )
+    if n_out < 0:
+        return None
+    return {
+        "alive": out_alive.astype(bool),
+        "seq": out_seq,
+        "seq_off": out_seq_off[: n_out + 1],
+        "sign": out_sign[:n_out],
+        "label": out_label[:n_out],
+        "counts": out_counts[: n_out * num_samples].reshape(n_out, num_samples),
+        "roles": out_roles[: n_out * 2].reshape(n_out, 2),
+        "e_dst": out_e_dst,
+        "e_kind": out_e_kind,
+        "e_off": out_e_off[: n_out + 1],
     }
 
 

@@ -63,8 +63,14 @@ class VariantCall:
         supports: dict[str, VariantSupport],
         samples: list[SampleSummary],
         window_length: int,
+        window_index: int = 0,
     ):
         self.variant = variant
+        # genome index of the producing window: deterministic duplicate
+        # tie-break (the reference keeps whichever window's record arrived
+        # first on a coverage tie — thread-schedule-dependent; we keep the
+        # EARLIER window so -T 1/2/8 emit byte-identical VCFs)
+        self.window_index = window_index
         self.chrom_index = variant.chrom_index
         self.chrom_name = variant.chrom_name
         self.pos1 = variant.genome_pos1

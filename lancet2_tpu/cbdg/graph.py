@@ -709,6 +709,14 @@ class Graph:
     # Phase 4: compression + tips (reference: graph.cpp:515-840)
     # ------------------------------------------------------------------
     def _prune_component(self, comp_id: int, probe, k: int) -> None:
+        # fast path: the native C++ cascade (bit-exact twin, GIL released so
+        # prep worker threads actually run in parallel); the Python cascade
+        # below stays as the instrumented path (probe hooks + per-stage DOT
+        # snapshots fire per sub-stage) and the correctness baseline
+        if (probe is None and (self.shard_writer is None
+                               or self.params.snapshot_mode != "verbose")
+                and self._prune_component_native(comp_id, k)):
+            return
         self._compress_graph(comp_id)
         if probe is not None:
             probe.log_stage("compress1", self, k)
@@ -725,6 +733,85 @@ class Graph:
         if probe is not None:
             probe.log_stage("tips", self, k)
         self._buffer_stage_snapshot("short_tip_removal", comp_id, k)
+
+    def _prune_component_native(self, comp_id: int, k: int) -> bool:
+        """Native prune cascade (native/assembly_core.cpp::l2t_prune_component).
+
+        Flattens the component's nodes in table order, runs compress ->
+        lowcov -> compress -> tips in C++, and rebuilds the node table with
+        survivors in their original relative positions (downstream traversal
+        indexing and walk enumeration are order-sensitive). Returns False
+        when the native library is unavailable (Python path runs instead).
+        """
+        from lancet2_tpu.base import native_core
+
+        if not native_core.available():
+            return False
+        comp_nids = [nid for nid, n in self.nodes.items() if n.comp_id == comp_id]
+        if not comp_nids:
+            return True
+        n = len(comp_nids)
+        num_samples = self.params.num_samples
+        nids = np.array(comp_nids, dtype=np.uint64)
+        seq_off = np.zeros(n + 1, np.int64)
+        signs = np.zeros(n, np.uint8)
+        labels = np.zeros(n, np.uint8)
+        counts = np.zeros((n, num_samples), np.int64)
+        roles = np.zeros((n, 2), np.int64)
+        e_off = np.zeros(n + 1, np.int64)
+        seqs = []
+        e_dst, e_kind = [], []
+        for i, nid in enumerate(comp_nids):
+            node = self.nodes[nid]
+            seqs.append(node.codes)
+            seq_off[i + 1] = seq_off[i] + len(node.codes)
+            signs[i] = node.sign
+            labels[i] = node.label
+            counts[i] = node.counts
+            roles[i] = node.role_counts
+            for e in node.edges:
+                e_dst.append(e.dst)
+                e_kind.append(e.kind)
+            e_off[i + 1] = len(e_dst)
+        out = native_core.prune_component(
+            nids, np.concatenate(seqs) if seqs else np.zeros(0, np.uint8),
+            seq_off, signs, labels, counts, roles,
+            np.array(e_dst, dtype=np.uint64), np.array(e_kind, dtype=np.uint8),
+            e_off, k, num_samples, self.params.min_node_cov,
+            self.source_sink[0], self.source_sink[1],
+        )
+        if out is None:
+            return False
+
+        alive = out["alive"]
+        survivors: dict[int, Node] = {}
+        oi = 0
+        for i, nid in enumerate(comp_nids):
+            if not alive[i]:
+                continue
+            node = self.nodes[nid]
+            node.codes = np.ascontiguousarray(
+                out["seq"][out["seq_off"][oi] : out["seq_off"][oi + 1]]
+            )
+            node.label = int(out["label"][oi])
+            node.counts = out["counts"][oi].copy()
+            node.role_counts = [int(out["roles"][oi, 0]), int(out["roles"][oi, 1])]
+            node.edges = [
+                Edge(nid, int(out["e_dst"][e]), int(out["e_kind"][e]))
+                for e in range(int(out["e_off"][oi]), int(out["e_off"][oi + 1]))
+            ]
+            survivors[nid] = node
+            oi += 1
+        # rebuild the table preserving original relative order (removed
+        # entries drop out in place, exactly like dict `del`)
+        new_nodes: dict[int, Node] = {}
+        for nid, node in self.nodes.items():
+            if node.comp_id != comp_id:
+                new_nodes[nid] = node
+            elif nid in survivors:
+                new_nodes[nid] = survivors[nid]
+        self.nodes = new_nodes
+        return True
 
     def _buffer_stage_snapshot(self, stage_label: str, comp_id: int, k: int) -> None:
         """Per-prune-stage DOT snapshot (reference: BufferStageSnapshot;

@@ -98,6 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "large and fused)")
 
     # graph params
+    pl.add_argument("--graph-backend",
+                    choices=["auto", "native", "numpy", "device"],
+                    default="auto",
+                    help="k-mer graph construction engine (bit-exact twins; "
+                         "cbdg/graph.py): native C++ single-pass, numpy "
+                         "vectorized, or device = the XLA canonicalize/sort/"
+                         "segment-sum pass (ops/graph_tpu.py). auto = native "
+                         "with numpy fallback")
     pl.add_argument("-k", "--min-kmer", type=int, default=13)
     pl.add_argument("-K", "--max-kmer", type=int, default=127)
     pl.add_argument("--kmer-step", type=int, default=6)
@@ -309,6 +317,7 @@ def run_pipeline(args, command_line: str) -> dict:
         min_anchor_cov=args.min_anchor_cov,
         num_samples=len(samples),
         snapshot_mode=args.graph_snapshots,
+        build_backend=args.graph_backend,
     )
     shards_dir = None
     if args.out_graphs_tgz:

@@ -243,6 +243,7 @@ class BatchPipelineExecutor:
                         VariantCall(
                             variant, supports, prepared.sample_summaries,
                             prepared.window.length,
+                            window_index=prepared.window.genome_index,
                         )
                     )
 

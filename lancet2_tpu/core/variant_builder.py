@@ -226,7 +226,8 @@ class VariantBuilder:
                     continue
                 calls.append(
                     VariantCall(variant, supports, prepared.sample_summaries,
-                                prepared.window.length)
+                                prepared.window.length,
+                                window_index=prepared.window.genome_index)
                 )
         if not calls:
             self.current_code = StatusCode.MISSING_NO_MSA_VARIANTS

@@ -37,7 +37,14 @@ class VariantStore:
             with self._locks[shard_idx]:
                 shard = self._shards[shard_idx]
                 existing = shard.get(key)
-                if existing is None or call.total_coverage() > existing.total_coverage():
+                # higher total coverage wins (reference: variant_store.cpp:36-43);
+                # coverage TIES break to the earlier window — the reference
+                # keeps first-arrival there, which is thread-schedule-dependent
+                if existing is None or (
+                    call.total_coverage() > existing.total_coverage()
+                    or (call.total_coverage() == existing.total_coverage()
+                        and call.window_index < existing.window_index)
+                ):
                     shard[key] = call
 
     def _extract_before(self, chrom_index: int, pos1: int) -> list[VariantCall]:

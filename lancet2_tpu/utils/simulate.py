@@ -363,3 +363,74 @@ def make_tumor_normal_fixture(
         "somatic": somatic,
         "germline": germline,
     }
+
+
+def make_chr_scale_fixture(ref_kb: int, cache_dir: str, seed: int = 11,
+                           normal_cov: float = 40.0, tumor_cov: float = 60.0) -> dict:
+    """Chr-scale cached tumor/normal fixture: somatic SNV/INS/DEL planted
+    round-robin every ~1.7 kb so most 1 kb windows are active. Shared by
+    scripts/profile_e2e.py and the driver-facing bench.py; cached on disk
+    keyed by content so repeat runs cost nothing."""
+    import hashlib
+    import json
+    import os
+
+    import numpy as np
+
+    key = f"e2e_r{ref_kb}kb_s{seed}_n{normal_cov}_t{tumor_cov}_v3"
+    fixdir = os.path.join(cache_dir, hashlib.sha1(key.encode()).hexdigest()[:16])
+    meta_path = os.path.join(fixdir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+
+    os.makedirs(fixdir, exist_ok=True)
+    ref_len = ref_kb * 1000
+    rng = np.random.default_rng(seed)
+    somatic = []
+    kinds = ["SNV", "INS", "DEL"]
+    pos = 900
+    i = 0
+    while pos < ref_len - 1200:
+        kind = kinds[i % 3]
+        if kind == "SNV":
+            somatic.append(Variant(pos, "A", "G", vaf=0.35))
+        elif kind == "INS":
+            ins = "".join("ACGT"[j] for j in rng.integers(0, 4, size=4))
+            somatic.append(Variant(pos, "A", "A" + ins, vaf=0.35))
+        else:
+            somatic.append(Variant(pos, "ACGTA"[: 1 + int(rng.integers(2, 5))], "A", vaf=0.35))
+        pos += 1700 + int(rng.integers(0, 400))
+        i += 1
+    # planted alleles must match the actual reference bases: build the ref
+    # once, rewrite the variant list against it, then build the real fixture
+    fx = make_tumor_normal_fixture(
+        fixdir, ref_len=ref_len, somatic=[], germline=[],
+        normal_cov=normal_cov, tumor_cov=tumor_cov, seed=seed,
+    )
+    ref_seq = fx["ref_seq"]
+    fixed = []
+    for v in somatic:
+        if v.kind == "SNV":
+            ref_b = ref_seq[v.pos0]
+            alt_b = "G" if ref_b != "G" else "T"
+            fixed.append(Variant(v.pos0, ref_b, alt_b, vaf=v.vaf))
+        elif v.kind == "INS":
+            anchor = ref_seq[v.pos0]
+            fixed.append(Variant(v.pos0, anchor, anchor + v.alt[1:], vaf=v.vaf))
+        else:
+            span = len(v.ref)
+            fixed.append(Variant(v.pos0, ref_seq[v.pos0 : v.pos0 + span],
+                                 ref_seq[v.pos0], vaf=v.vaf))
+    fx = make_tumor_normal_fixture(
+        fixdir, ref_len=ref_len, somatic=fixed, germline=[],
+        normal_cov=normal_cov, tumor_cov=tumor_cov, seed=seed,
+    )
+    meta = {
+        "fasta": fx["fasta"], "normal": fx["normal"], "tumor": fx["tumor"],
+        "chrom": fx["chrom"], "ref_len": ref_len,
+        "truth": [(v.pos0, v.ref, v.alt) for v in fixed],
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta

@@ -414,6 +414,337 @@ void align_one(const uint8_t* q, int64_t Lq, const uint8_t* t, int64_t Lt,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Component prune pass (cbdg/graph.py::_prune_component parity)
+// ---------------------------------------------------------------------------
+//
+// Exact port of the Python compress -> lowcov -> compress -> tips cascade
+// (which itself mirrors reference graph.cpp:515-840). Iteration order,
+// tie-breaks, edge-list mutation semantics, and the BCALM2 merge rules are
+// replicated so the surviving node set is bit-identical (parity-tested in
+// tests/test_native_prune.py). Used only on the fast path (no probe
+// tracker, no per-stage DOT snapshots); Python remains the instrumented
+// twin.
+
+namespace {
+
+constexpr uint8_t REVK[4] = {3, 1, 2, 0};
+inline uint8_t rev_kind(uint8_t k) { return REVK[k]; }
+inline uint8_t src_sign(uint8_t k) { return k >> 1; }
+inline uint8_t dst_sign(uint8_t k) { return k & 1; }
+inline uint8_t make_kind(uint8_t s, uint8_t d) { return (uint8_t)((s << 1) | d); }
+
+struct PEdge {
+  uint64_t dst;
+  uint8_t kind;
+  bool operator==(const PEdge& o) const { return dst == o.dst && kind == o.kind; }
+};
+
+struct PNode {
+  uint64_t nid;
+  std::vector<uint8_t> seq;
+  uint8_t sign, label;
+  std::vector<int64_t> counts;
+  int64_t roles[2];
+  std::vector<PEdge> edges;
+  bool in_table = true;
+};
+
+struct PruneCtx {
+  std::vector<PNode> nodes;                       // table order
+  std::unordered_map<uint64_t, int32_t> idx;      // nid -> slot
+  uint64_t source_id, sink_id;
+  int64_t k, num_samples, min_node_cov;
+
+  PNode* get(uint64_t nid) {
+    auto it = idx.find(nid);
+    if (it == idx.end()) return nullptr;
+    PNode* n = &nodes[it->second];
+    return n->in_table ? n : nullptr;
+  }
+
+  static bool has_self_loop(const PNode& n) {
+    for (const auto& e : n.edges)
+      if (e.dst == n.nid) return true;
+    return false;
+  }
+
+  static uint8_t sign_for(const PNode& n, bool ordering_default) {
+    return ordering_default ? n.sign : (uint8_t)(1 - n.sign);
+  }
+
+  static void edges_in_direction(const PNode& n, bool ordering_default,
+                                 std::vector<PEdge>& out) {
+    out.clear();
+    uint8_t want = sign_for(n, ordering_default);
+    for (const auto& e : n.edges)
+      if (src_sign(e.kind) == want) out.push_back(e);
+  }
+
+  static void emplace_edge(PNode& n, PEdge e) {
+    for (const auto& x : n.edges)
+      if (x == e) return;
+    n.edges.push_back(e);
+  }
+
+  static void erase_edge(PNode& n, PEdge e) {
+    for (size_t i = 0; i < n.edges.size(); ++i)
+      if (n.edges[i] == e) { n.edges.erase(n.edges.begin() + i); return; }
+  }
+
+  // merge_codes (cbdg/kmer.py): BCALM2 MergeCords
+  static void merge_seq(std::vector<uint8_t>& a, const std::vector<uint8_t>& b,
+                        uint8_t kind, int64_t k) {
+    auto rc = [](const std::vector<uint8_t>& v) {
+      std::vector<uint8_t> r(v.size());
+      for (size_t i = 0; i < v.size(); ++i)
+        r[i] = COMPLEMENT[v[v.size() - 1 - i] <= 4 ? v[v.size() - 1 - i] : 4];
+      return r;
+    };
+    if (kind == 0) {  // PP: a + b[k-1:]
+      a.insert(a.end(), b.begin() + (k - 1), b.end());
+    } else if (kind == 1) {  // PM: a + revcomp(b)[k-1:]
+      auto r = rc(b);
+      a.insert(a.end(), r.begin() + (k - 1), r.end());
+    } else if (kind == 2) {  // MP: revcomp(b)[:len(b)-k+1] + a
+      auto r = rc(b);
+      std::vector<uint8_t> out(r.begin(), r.begin() + ((int64_t)b.size() - k + 1));
+      out.insert(out.end(), a.begin(), a.end());
+      a = std::move(out);
+    } else {  // MM: b[:len(b)-k+1] + a
+      std::vector<uint8_t> out(b.begin(), b.begin() + ((int64_t)b.size() - k + 1));
+      out.insert(out.end(), a.begin(), a.end());
+      a = std::move(out);
+    }
+  }
+
+  void merge_node(PNode& n, const PNode& o, uint8_t kind) {
+    int64_t la = (int64_t)n.seq.size(), lb = (int64_t)o.seq.size();
+    merge_seq(n.seq, o.seq, kind, k);
+    n.label |= o.label;
+    int64_t total = la + lb;
+    for (int64_t s = 0; s < num_samples; ++s)
+      n.counts[s] = (n.counts[s] * la + o.counts[s] * lb) / total;
+    for (int i = 0; i < 2; ++i)
+      n.roles[i] = (n.roles[i] * la + o.roles[i] * lb) / total;
+  }
+
+  bool is_potential_buddy_edge(const PNode& src, const PEdge& conn) {
+    PNode* nbour = get(conn.dst);
+    if (nbour == nullptr) return false;
+    if (src.edges.size() == 1 && nbour->edges.size() == 1) {
+      if (src.edges[0].dst == nbour->nid && nbour->edges[0].dst == src.nid)
+        return false;
+    }
+    if (nbour->edges.size() > 2 || nbour->edges.empty() || has_self_loop(*nbour))
+      return false;
+
+    // expected = conn.mirror() as stored in nbour (src == nbour implied)
+    PEdge expected{src.nid, rev_kind(conn.kind)};
+    bool dir_default = src_sign(expected.kind) == nbour->sign;
+    std::vector<PEdge> nb_edges;
+    edges_in_direction(*nbour, dir_default, nb_edges);
+    if (nb_edges.size() != 1 || !(nb_edges[0] == expected)) return false;
+
+    std::vector<PEdge> opp;
+    edges_in_direction(*nbour, !dir_default, opp);
+    if (opp.size() != 1 || opp[0].dst == src.nid) return false;
+    PNode* nnb = get(opp[0].dst);
+    return nnb != nullptr && nnb->edges.size() <= 2;
+  }
+
+  // returns true + fills `out` when a compressible edge exists
+  bool find_compressible_edge(const PNode& node, bool ordering_default, PEdge& out) {
+    if (node.edges.size() > 2 || node.edges.empty() || has_self_loop(node))
+      return false;
+    if (node.nid == source_id || node.nid == sink_id) return false;
+    std::vector<PEdge> mergeable;
+    edges_in_direction(node, ordering_default, mergeable);
+    if (mergeable.size() != 1) return false;
+    PEdge cand = mergeable[0];
+    if (cand.dst == source_id || cand.dst == sink_id) return false;
+    if (get(cand.dst) == nullptr) return false;
+    if (!is_potential_buddy_edge(node, cand)) return false;
+    std::vector<PEdge> opp;
+    edges_in_direction(node, !ordering_default, opp);
+    if (opp.empty()) { out = cand; return true; }
+    if (opp.size() > 1) return false;
+    if (get(opp[0].dst) == nullptr || !is_potential_buddy_edge(node, opp[0]))
+      return false;
+    out = cand;
+    return true;
+  }
+
+  void compress_node(int32_t ni, bool ordering_default,
+                     std::unordered_set<uint64_t>& removed) {
+    PNode& node = nodes[ni];
+    PEdge edge;
+    while (find_compressible_edge(node, ordering_default, edge)) {
+      PNode& buddy = nodes[idx[edge.dst]];
+      merge_node(node, buddy, edge.kind);
+      erase_edge(node, edge);
+
+      uint8_t rev_src = (uint8_t)(1 - src_sign(edge.kind));
+      PEdge edge_mirror_in_buddy{node.nid, rev_kind(edge.kind)};
+      for (const auto& b2n : buddy.edges) {
+        if (b2n == edge_mirror_in_buddy) continue;
+        PNode* nb = &nodes[idx[b2n.dst]];
+        uint8_t ne_src =
+            (dst_sign(edge.kind) != src_sign(b2n.kind)) ? rev_src
+                                                        : src_sign(edge.kind);
+        PEdge new_edge{b2n.dst, make_kind(ne_src, dst_sign(b2n.kind))};
+        emplace_edge(node, new_edge);
+        // mirror of (node -> b2n.dst) stored in nb
+        emplace_edge(*nb, PEdge{node.nid, rev_kind(new_edge.kind)});
+        erase_edge(*nb, PEdge{buddy.nid, rev_kind(b2n.kind)});
+      }
+      removed.insert(edge.dst);
+      buddy.edges.clear();
+    }
+  }
+
+  void remove_node(uint64_t nid) {
+    auto it = idx.find(nid);
+    if (it == idx.end() || !nodes[it->second].in_table) return;
+    PNode& node = nodes[it->second];
+    for (const auto& e : node.edges) {
+      if (e.dst == nid) continue;  // self-loop
+      PNode* nb = get(e.dst);
+      if (nb != nullptr) erase_edge(*nb, PEdge{nid, rev_kind(e.kind)});
+    }
+    node.in_table = false;
+    node.edges.clear();
+  }
+
+  void compress_graph() {
+    std::unordered_set<uint64_t> removed;
+    for (size_t i = 0; i < nodes.size(); ++i) {  // snapshot of table keys
+      PNode& node = nodes[i];
+      if (!node.in_table || removed.count(node.nid)) continue;
+      compress_node((int32_t)i, true, removed);
+      compress_node((int32_t)i, false, removed);
+    }
+    for (uint64_t nid : removed) {
+      // batch delete: edges already cleared; mirrors already rewired
+      nodes[idx[nid]].in_table = false;
+    }
+  }
+
+  void remove_low_cov() {
+    std::vector<uint64_t> to_remove;
+    for (const auto& node : nodes) {
+      if (!node.in_table || node.nid == source_id || node.nid == sink_id)
+        continue;
+      int64_t total = 0;
+      bool any_pos = false, all_le1 = true;
+      for (int64_t s = 0; s < num_samples; ++s) {
+        total += node.counts[s];
+        if (node.counts[s] > 0) any_pos = true;
+        if (node.counts[s] > 1) all_le1 = false;
+      }
+      bool all_singleton = any_pos && all_le1;
+      if (all_singleton || total < min_node_cov) to_remove.push_back(node.nid);
+    }
+    for (uint64_t nid : to_remove) remove_node(nid);
+  }
+
+  void remove_tips() {
+    size_t current = 1;
+    while (current > 0) {
+      std::vector<uint64_t> to_remove;
+      for (const auto& node : nodes) {
+        if (!node.in_table || node.nid == source_id || node.nid == sink_id ||
+            node.edges.size() > 1)
+          continue;
+        int64_t uniq_len = (int64_t)node.seq.size() - k + 1;
+        if (uniq_len >= k) continue;
+        to_remove.push_back(node.nid);
+      }
+      for (uint64_t nid : to_remove) remove_node(nid);
+      if (!to_remove.empty()) compress_graph();
+      current = to_remove.size();
+    }
+  }
+};
+
+}  // namespace
+
+// Prune one component: compress -> lowcov -> compress -> tips.
+//
+// Inputs: the component's nodes in Python-table order (flat arrays), edges
+// as CSR of (dst, kind) with src implied. Outputs are compacted survivor
+// arrays in the same relative order. Returns the survivor count, or -1 when
+// an output capacity would overflow (callers size cap_seq >= total input
+// seq length and cap_edges >= n_edges, which merging never exceeds).
+int64_t l2t_prune_component(
+    int64_t n_nodes, const uint64_t* nids, const uint8_t* seq_codes,
+    const int64_t* seq_off, const uint8_t* signs, const uint8_t* labels,
+    const int64_t* counts, const int64_t* roles, const uint64_t* e_dst,
+    const uint8_t* e_kind, const int64_t* e_off, int64_t k,
+    int64_t num_samples, int64_t min_node_cov, uint64_t source_id,
+    uint64_t sink_id,
+    uint8_t* out_alive, uint8_t* out_seq, int64_t* out_seq_off,
+    uint8_t* out_sign, uint8_t* out_label, int64_t* out_counts,
+    int64_t* out_roles, uint64_t* out_e_dst, uint8_t* out_e_kind,
+    int64_t* out_e_off, int64_t cap_seq, int64_t cap_edges) {
+  PruneCtx ctx;
+  ctx.source_id = source_id;
+  ctx.sink_id = sink_id;
+  ctx.k = k;
+  ctx.num_samples = num_samples;
+  ctx.min_node_cov = min_node_cov;
+  ctx.nodes.resize(n_nodes);
+  ctx.idx.reserve((size_t)n_nodes * 2);
+  for (int64_t i = 0; i < n_nodes; ++i) {
+    PNode& n = ctx.nodes[i];
+    n.nid = nids[i];
+    n.seq.assign(seq_codes + seq_off[i], seq_codes + seq_off[i + 1]);
+    n.sign = signs[i];
+    n.label = labels[i];
+    n.counts.assign(counts + i * num_samples, counts + (i + 1) * num_samples);
+    n.roles[0] = roles[i * 2];
+    n.roles[1] = roles[i * 2 + 1];
+    n.edges.reserve(e_off[i + 1] - e_off[i]);
+    for (int64_t e = e_off[i]; e < e_off[i + 1]; ++e)
+      n.edges.push_back(PEdge{e_dst[e], e_kind[e]});
+    ctx.idx.emplace(n.nid, (int32_t)i);
+  }
+
+  ctx.compress_graph();
+  ctx.remove_low_cov();
+  ctx.compress_graph();
+  ctx.remove_tips();
+
+  int64_t n_out = 0, seq_pos = 0, edge_pos = 0;
+  out_seq_off[0] = 0;
+  out_e_off[0] = 0;
+  for (int64_t i = 0; i < n_nodes; ++i) {
+    const PNode& n = ctx.nodes[i];
+    out_alive[i] = n.in_table ? 1 : 0;
+    if (!n.in_table) continue;
+    int64_t slen = (int64_t)n.seq.size();
+    int64_t elen = (int64_t)n.edges.size();
+    if (seq_pos + slen > cap_seq || edge_pos + elen > cap_edges) return -1;
+    std::memcpy(out_seq + seq_pos, n.seq.data(), (size_t)slen);
+    seq_pos += slen;
+    out_sign[n_out] = n.sign;
+    out_label[n_out] = n.label;
+    for (int64_t s = 0; s < num_samples; ++s)
+      out_counts[n_out * num_samples + s] = n.counts[s];
+    out_roles[n_out * 2] = n.roles[0];
+    out_roles[n_out * 2 + 1] = n.roles[1];
+    for (const auto& e : n.edges) {
+      out_e_dst[edge_pos] = e.dst;
+      out_e_kind[edge_pos] = e.kind;
+      ++edge_pos;
+    }
+    ++n_out;
+    out_seq_off[n_out] = seq_pos;
+    out_e_off[n_out] = edge_pos;
+  }
+  return n_out;
+}
+
 // Batch API. queries [B, Lq] uint8 row-major (pad 5), q_lens [B] int64,
 // targets [B, Lt], t_lens [B]. Outputs: scores/tstarts/tends [B] int64,
 // cigar_ops/cigar_lens [B, max_cigar] int32, n_cigars [B] int64.
