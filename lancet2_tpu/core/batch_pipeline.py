@@ -56,6 +56,7 @@ class BatchPipelineExecutor:
         min_emit_pos=None,
         band_margin: int | None = 96,
         total_hint: int | None = None,
+        devices: list | None = None,
     ):
         self.params = params
         self.ref = ref
@@ -77,6 +78,9 @@ class BatchPipelineExecutor:
         self.status_counts: dict[StatusCode, int] = {}
         self.stage_timer = StageTimer()
         self._timer_lock = threading.Lock()
+        # explicit device list for evidence-chunk round-robin (multi-chip);
+        # None = auto (all devices when the default backend is an accelerator)
+        self.devices = devices
 
     def _batches(self):
         """Yield window batches from the list or the streaming iterator."""
@@ -104,7 +108,7 @@ class BatchPipelineExecutor:
 
         from lancet2_tpu.caller import genotyper as genotyper_mod
 
-        devices = (
+        devices = self.devices if self.devices is not None else (
             list(jax.devices())
             if jax.default_backend() in ("tpu", "axon")
             else None

@@ -92,30 +92,38 @@ class ReadCollector:
                 sampled_bases += read.length
                 out.append(read)
 
-            # Pass 3: mate recapture (discordant or SA-tagged pairs)
+            # Pass 3: ordered mate recapture (discordant or SA-tagged pairs).
+            # Mirrors the reference's RecaptureMates (read_collector.cpp:
+            # 237-271): pending mates are visited in ASCENDING genomic order
+            # (sequential BAM access), each mate-region scan opportunistically
+            # captures EVERY still-pending mate it encounters (first record
+            # per qname wins), and already-captured entries skip their scan.
             if self.params.extract_pairs:
-                in_region = {r.qname for r in records}
-                want: dict[str, tuple[int, int]] = {}
+                pending: dict[str, tuple[int, int]] = {}
                 for rec in records:
-                    if not rec.is_mate_mapped:
+                    if not rec.is_mate_mapped or rec.next_ref_id < 0:
                         continue
                     if rec.is_proper_pair and "SA" not in rec.tags:
                         continue
-                    mate_key = (rec.next_ref_id, rec.next_pos0)
-                    if not (start1 - 1 <= rec.next_pos0 < end1 and rec.next_ref_id == rec.ref_id):
-                        want[rec.qname] = mate_key
-                # ascending genomic order for sequential access
-                for qname, (rid, pos0) in sorted(want.items(), key=lambda kv: kv[1]):
-                    if rid < 0:
-                        continue
+                    if rec.next_ref_id == rec.ref_id and (
+                        start1 - 1 <= rec.next_pos0 < end1
+                    ):
+                        continue  # mate already inside the scanned window
+                    pending[rec.qname] = (rec.next_ref_id, rec.next_pos0)
+                for qname, (rid, pos0) in sorted(
+                    pending.items(), key=lambda kv: (kv[1], kv[0])
+                ):
+                    if qname not in pending:
+                        continue  # captured by an earlier overlapping scan
                     mate_chrom = reader.ref_name(rid)
                     for rec in reader.fetch(mate_chrom, pos0 + 1, pos0 + 1):
-                        if rec.qname != qname or rec.pos0 != pos0:
+                        hit = pending.pop(rec.qname, None)
+                        if hit is None:
                             continue
-                        read = Read.from_bam(rec, sinfo.sample_name, sinfo.tag, sinfo.sample_index)
+                        read = Read.from_bam(rec, sinfo.sample_name, sinfo.tag,
+                                             sinfo.sample_index)
                         sampled_bases += read.length
                         out.append(read)
-                        break
 
             sinfo.num_sampled_bases = sampled_bases
 

@@ -329,6 +329,9 @@ def make_tumor_normal_fixture(
     normal_cov: float = 40.0,
     tumor_cov: float = 60.0,
     seed: int = 11,
+    read_len: int = 125,
+    frag_mean: float = 320.0,
+    frag_sd: float = 40.0,
 ) -> dict:
     """Write ref.fa + normal.bam + tumor.bam with planted variants."""
     import os
@@ -344,13 +347,15 @@ def make_tumor_normal_fixture(
     refs = [(chrom, ref_len)]
     normal_path = os.path.join(tmpdir, "normal.bam")
     wn = BamWriter(normal_path, refs, sample_name="NORMAL")
-    sim_n = ReadSimulator(ref_seq, chrom, seed=seed + 1)
+    sim_n = ReadSimulator(ref_seq, chrom, read_len=read_len,
+                          frag_mean=frag_mean, frag_sd=frag_sd, seed=seed + 1)
     sim_n.simulate(germline, normal_cov, wn, qname_prefix="n")
     wn.close()
 
     tumor_path = os.path.join(tmpdir, "tumor.bam")
     wt = BamWriter(tumor_path, refs, sample_name="TUMOR")
-    sim_t = ReadSimulator(ref_seq, chrom, seed=seed + 2)
+    sim_t = ReadSimulator(ref_seq, chrom, read_len=read_len,
+                          frag_mean=frag_mean, frag_sd=frag_sd, seed=seed + 2)
     sim_t.simulate(germline + somatic, tumor_cov, wt, qname_prefix="t")
     wt.close()
 
