@@ -70,6 +70,21 @@ def _ensure_lib():
             _i64p, _i64p, _i64p,
             _i32p, _i32p, ctypes.c_int64, _i64p,
         ]
+        lib.l2t_assemble_pass.restype = ctypes.c_int64
+        lib.l2t_assemble_pass.argtypes = [
+            _u8p, _i64p, _u8p,                    # codes, offsets, quals
+            _u8p, _u8p, _i32p, _u8p, _u64p,       # labels, is_read, sample_idx, tags, qhash
+            _f64p,                                 # err_table
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint8, ctypes.c_uint8,       # label_case, label_ref
+            ctypes.c_int64, ctypes.c_int64,       # min_anchor_cov, min_anchor_len
+            _u64p, _u8p, _i64p, _u8p, _u8p,       # nid, seq, seq_off, sign, label
+            _i64p, _i64p, _i32p,                  # counts, roles, comp
+            _u64p, _u8p, _i64p,                   # e_dst, e_kind, e_off
+            _u64p, _u64p, _i64p, _i64p, _i32p,    # c_source, c_sink, c_src_off, c_anchor_len, c_id
+            _i64p,                                 # n_comps
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.l2t_prune_component.restype = ctypes.c_int64
         lib.l2t_prune_component.argtypes = [
             ctypes.c_int64, _u64p, _u8p, _i64p, _u8p, _u8p,  # n, nids, seq, off, sign, label
@@ -143,6 +158,87 @@ def kmer_pass(codes, offsets, quals, labels, is_read, sample_idx, tags, qhash,
         "survives": u_survives[:n_uniq].astype(bool),
         "edge_src": e_src[:ne],
         "edge_dst": e_dst[:ne],
+    }
+
+
+def assemble_pass(codes, offsets, quals, labels, is_read, sample_idx, tags,
+                  qhash, err_table, k: int, num_samples: int,
+                  min_node_cov: int, label_case: int, label_ref: int,
+                  min_anchor_cov: int, min_anchor_len: int):
+    """Fused build + lowcov + components + anchors + prune for one (window,
+    k) attempt. Returns None when native is unavailable, else a dict of
+    compacted survivor arrays grouped by passing component (size-desc) plus
+    per-component anchor metadata."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lens = np.diff(offsets)
+    n_occ = int(np.maximum(lens - k + 1, 0).sum())
+    if n_occ == 0:
+        return {"n_nodes": 0, "n_comps": 0}
+    cap_nodes = n_occ
+    cap_seq = n_occ * k
+    cap_edges = n_occ + 8
+    cap_comps = 256
+
+    out_nid = np.empty(cap_nodes, np.uint64)
+    out_seq = np.empty(cap_seq, np.uint8)
+    out_seq_off = np.zeros(cap_nodes + 1, np.int64)
+    out_sign = np.empty(cap_nodes, np.uint8)
+    out_label = np.empty(cap_nodes, np.uint8)
+    out_counts = np.empty(cap_nodes * num_samples, np.int64)
+    out_roles = np.empty(cap_nodes * 2, np.int64)
+    out_comp = np.empty(cap_nodes, np.int32)
+    out_e_dst = np.empty(cap_edges, np.uint64)
+    out_e_kind = np.empty(cap_edges, np.uint8)
+    out_e_off = np.zeros(cap_nodes + 1, np.int64)
+    c_source = np.empty(cap_comps, np.uint64)
+    c_sink = np.empty(cap_comps, np.uint64)
+    c_src_off = np.empty(cap_comps, np.int64)
+    c_anchor_len = np.empty(cap_comps, np.int64)
+    c_id = np.empty(cap_comps, np.int32)
+    n_comps = np.zeros(1, np.int64)
+
+    n_nodes = lib.l2t_assemble_pass(
+        np.ascontiguousarray(codes, np.uint8), offsets,
+        np.ascontiguousarray(quals, np.uint8),
+        np.ascontiguousarray(labels, np.uint8),
+        np.ascontiguousarray(is_read, np.uint8),
+        np.ascontiguousarray(sample_idx, np.int32),
+        np.ascontiguousarray(tags, np.uint8),
+        np.ascontiguousarray(qhash, np.uint64),
+        np.ascontiguousarray(err_table, np.float64),
+        len(offsets) - 1, k, num_samples, min_node_cov,
+        label_case, label_ref, min_anchor_cov, min_anchor_len,
+        out_nid, out_seq, out_seq_off, out_sign, out_label,
+        out_counts, out_roles, out_comp,
+        out_e_dst, out_e_kind, out_e_off,
+        c_source, c_sink, c_src_off, c_anchor_len, c_id, n_comps,
+        cap_nodes, cap_seq, cap_edges, cap_comps,
+    )
+    if n_nodes < 0:
+        return None
+    nc = int(n_comps[0])
+    return {
+        "n_nodes": int(n_nodes),
+        "n_comps": nc,
+        "nid": out_nid[:n_nodes],
+        "seq": out_seq,
+        "seq_off": out_seq_off[: n_nodes + 1],
+        "sign": out_sign[:n_nodes],
+        "label": out_label[:n_nodes],
+        "counts": out_counts[: n_nodes * num_samples].reshape(int(n_nodes), num_samples),
+        "roles": out_roles[: n_nodes * 2].reshape(int(n_nodes), 2),
+        "comp": out_comp[:n_nodes],
+        "e_dst": out_e_dst,
+        "e_kind": out_e_kind,
+        "e_off": out_e_off[: n_nodes + 1],
+        "c_source": c_source[:nc],
+        "c_sink": c_sink[:nc],
+        "c_src_off": c_src_off[:nc],
+        "c_anchor_len": c_anchor_len[:nc],
+        "c_id": c_id[:nc],
     }
 
 

@@ -22,9 +22,8 @@ dimension bucketed to fixed shapes (pair count, read length, haplotype
 length), so executables are compiled once and reused across all windows
 (~2.5x over the numpy engine; measured: the direction-matrix emission only
 adds ~20%% over score-only on CPU, so a candidate-prefilter two-pass does
-not pay here — it is reserved for the TPU batch path where score-only is
-far cheaper). _align_scores is the score-only building block used by the
-device-resident pipeline.
+not pay here — the TPU batch path instead uses the traceback-free evidence
+kernel, ops/evidence_pallas.py).
 """
 
 from __future__ import annotations
@@ -404,32 +403,6 @@ class Genotyper:
         )
         outs = self.run_evidence_pairs(pair_q, pair_qu, pair_t, pair_meta)
         return self.assemble_evidence(reads, variants, pair_meta, outs)
-
-    def _align_scores(self, pair_q, pair_t):
-        """Score-only pass over all pairs (no direction matrices)."""
-        scores = np.zeros(len(pair_q), dtype=np.int64)
-        t_ends = np.zeros(len(pair_q), dtype=np.int64)
-        for lo in range(0, len(pair_q), _PAIR_CHUNK):
-            hi = min(lo + _PAIR_CHUNK, len(pair_q))
-            n_pairs = hi - lo
-            if self.backend == "jax":
-                from lancet2_tpu.ops.affine_dp_jax import align_scores_jax
-
-                bq = _bucket(max(len(s) for s in pair_q[lo:hi]), (160, 320, 640, 1280))
-                bt = _bucket(max(len(s) for s in pair_t[lo:hi]), _TARGET_BUCKETS)
-                bb = _bucket(n_pairs, (64, 128, 256, 512))
-                qs, qlens = _pad(pair_q[lo:hi] + [pair_q[lo]] * (bb - n_pairs), bq)
-                ts, tlens = _pad(pair_t[lo:hi] + [pair_t[lo]] * (bb - n_pairs), bt)
-                sc, te = align_scores_jax(qs, qlens, ts, tlens, READ_TO_HAP)
-                scores[lo:hi] = sc[:n_pairs]
-                t_ends[lo:hi] = te[:n_pairs]
-            else:
-                qs, qlens = _pad(pair_q[lo:hi])
-                ts, tlens = _pad(pair_t[lo:hi])
-                out = align_batch_numpy(qs, qlens, ts, tlens, READ_TO_HAP)
-                scores[lo:hi] = out["score"]
-                t_ends[lo:hi] = out["t_end"]
-        return scores, t_ends
 
     def _align_all(self, hap_codes: list[np.ndarray], reads: list[Read],
                    variants: list[RawVariant] | None = None):

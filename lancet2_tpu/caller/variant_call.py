@@ -64,6 +64,7 @@ class VariantCall:
         samples: list[SampleSummary],
         window_length: int,
         window_index: int = 0,
+        pls_lookup: dict | None = None,
     ):
         self.variant = variant
         # genome index of the producing window: deterministic duplicate
@@ -84,6 +85,9 @@ class VariantCall:
         self.has_alt_support = False
         self.state = STATE_UNKNOWN
         self.sample_columns: list[str] = []
+        # batched device PLs (ops/genotype_tpu.batched_genotype_pls_guarded),
+        # keyed by sample name; None falls back to per-sample host math
+        self._pls_lookup = pls_lookup
         self._finalize(supports, samples)
 
     # -- identity (locus level: CHROM+POS+REF) -----------------------------
@@ -109,7 +113,10 @@ class VariantCall:
                 self.sample_columns.append(MISSING_SAMPLE)
                 continue
             self.total_sample_cov += support.total_sample_cov()
-            pls = support.compute_pls(num_alleles)
+            if self._pls_lookup is not None and sinfo.name in self._pls_lookup:
+                pls = self._pls_lookup[sinfo.name]
+            else:
+                pls = support.compute_pls(num_alleles)
             self._update_site_quality(sinfo, support, supports, samples, case_ctrl_mode, pls)
             self.has_alt_support = self.has_alt_support or support.total_alt_cov() > 0
             self.sample_columns.append(

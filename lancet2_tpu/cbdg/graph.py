@@ -247,6 +247,21 @@ class Graph:
             if has_approx_repeat(ref_codes, k, max_mismatch=2):
                 continue
 
+            # fast path: fused native build+lowcov+components+anchors+prune
+            # (one C++ call, GIL released; Python materializes only the
+            # pruned nodes). Instrumented runs (probe / graph snapshots)
+            # take the stepwise path below.
+            if (probe is None and self.shard_writer is None
+                    and params.build_backend in ("auto", "native")):
+                handled, retry_k = self._assemble_native_k(
+                    ref_codes, reads, k, results
+                )
+                if handled:
+                    if retry_k:
+                        results.clear()
+                        continue
+                    continue
+
             self._build_graph(ref_codes, reads, k)
             if probe is not None:
                 probe.on_graph_built(self, k)
@@ -304,6 +319,110 @@ class Graph:
         if self.shard_writer is not None:
             self.dot_buffer.commit(self.shard_writer)
         return results
+
+    def _assemble_native_k(self, ref_codes, reads, k: int, results) -> tuple:
+        """One fused native (build+lowcov+components+anchors+prune) attempt.
+
+        Returns (handled, retry_k). handled=False => native unavailable,
+        caller runs the stepwise Python/numpy path. On success the node
+        table holds ONLY the pruned passing components and `results` is
+        extended with their enumerated haplotypes (bit-identical to the
+        stepwise path — tested in tests/test_native_prune.py)."""
+        from lancet2_tpu.base import native_core
+
+        if not native_core.available():
+            return False, False
+        num_samples = self.params.num_samples
+        seqs: list[np.ndarray] = []
+        quals: list[np.ndarray | None] = []
+        meta: list[tuple[int, int, int, int]] = []
+        if len(ref_codes) >= k + 1:
+            seqs.append(np.asarray(ref_codes, dtype=np.uint8))
+            quals.append(None)
+            meta.append((LABEL_REFERENCE, -1, 0, 0))
+        for read in reads:
+            if not read.passes_aln_filters or len(read.codes) < k + 1:
+                continue
+            seqs.append(read.codes)
+            quals.append(read.qual)
+            meta.append((read.tag, read.sample_index, read.tag, read.qname_hash))
+        self.nodes = {}
+        self.ref_node_ids = []
+        if not seqs:
+            return True, False
+
+        n_seqs = len(seqs)
+        offsets = np.zeros(n_seqs + 1, dtype=np.int64)
+        for si, codes in enumerate(seqs):
+            offsets[si + 1] = offsets[si] + len(codes)
+        codes_buf = np.concatenate(seqs).astype(np.uint8, copy=False)
+        quals_buf = np.zeros(offsets[-1], dtype=np.uint8)
+        labels = np.zeros(n_seqs, dtype=np.uint8)
+        is_read = np.zeros(n_seqs, dtype=np.uint8)
+        sample_idx = np.zeros(n_seqs, dtype=np.int32)
+        tags = np.zeros(n_seqs, dtype=np.uint8)
+        qhashes = np.zeros(n_seqs, dtype=np.uint64)
+        for si, (label, sidx, tag, qh) in enumerate(meta):
+            labels[si] = label
+            tags[si] = tag
+            qhashes[si] = np.uint64(qh)
+            if label != LABEL_REFERENCE:
+                is_read[si] = 1
+                sample_idx[si] = sidx
+                quals_buf[offsets[si] : offsets[si + 1]] = np.clip(quals[si], 0, 255)
+
+        out = native_core.assemble_pass(
+            codes_buf, offsets, quals_buf, labels, is_read, sample_idx, tags,
+            qhashes, PHRED_TO_ERROR_PROB, k, num_samples,
+            self.params.min_node_cov, LABEL_CASE, LABEL_REFERENCE,
+            self.params.min_anchor_cov, DEFAULT_MIN_ANCHOR_LENGTH,
+        )
+        if out is None:
+            return False, False
+        if out["n_comps"] == 0:
+            return True, False
+
+        # materialize pruned survivors (comp-grouped, within-comp original
+        # table order — traversal/walk determinism depends on it)
+        n_nodes = out["n_nodes"]
+        for i in range(n_nodes):
+            nid = int(out["nid"][i])
+            node = Node(
+                nid,
+                np.ascontiguousarray(
+                    out["seq"][out["seq_off"][i] : out["seq_off"][i + 1]]
+                ),
+                int(out["sign"][i]),
+                int(out["label"][i]),
+                num_samples,
+            )
+            node.counts = out["counts"][i].copy()
+            node.role_counts = [int(out["roles"][i, 0]), int(out["roles"][i, 1])]
+            node.comp_id = int(out["comp"][i])
+            node.edges = [
+                Edge(nid, int(out["e_dst"][e]), int(out["e_kind"][e]))
+                for e in range(int(out["e_off"][i]), int(out["e_off"][i + 1]))
+            ]
+            self.nodes[nid] = node
+
+        for c in range(out["n_comps"]):
+            comp_id = int(out["c_id"][c])
+            src_off = int(out["c_src_off"][c])
+            anchor_len = int(out["c_anchor_len"][c])
+            self.source_sink = (int(out["c_source"][c]), int(out["c_sink"][c]))
+            ref_anchor_codes = ref_codes[src_off : src_off + anchor_len]
+
+            trav = build_traversal_index(self.nodes, self.source_sink, comp_id)
+            if has_cycle(trav):
+                return True, True
+            gcplx = compute_component_complexity(self.nodes, comp_id)
+            if gcplx.is_complex:
+                return True, True
+            haps = self._build_haplotypes(comp_id, trav, ref_anchor_codes, None)
+            if not haps:
+                continue
+            results.append(ComponentResult(haps, gcplx, src_off))
+        return True, False
 
     def _buffer_final_snapshot(self, comp_id: int, haps, k: int) -> None:
         if self.shard_writer is None:

@@ -82,6 +82,37 @@ class BatchPipelineExecutor:
         # None = auto (all devices when the default backend is an accelerator)
         self.devices = devices
 
+    def _device_pl_tables(self, pending_rows, devices):
+        """Batched device DM PLs for every (call, sample) of a window batch.
+
+        Rows group by allele count K (one jitted dispatch each, typically
+        K=2) and run in scoped-x64 float64 on the device — bit-equal to the
+        host engine (float32 is not: see batched_genotype_pls_exact).
+        Returns {row_index: {sample_name: pls}}; empty when not on an
+        accelerator (host math is faster than a tunnel round-trip).
+        """
+        if devices is None or not pending_rows:
+            return {}
+        import numpy as np
+
+        from lancet2_tpu.ops.genotype_tpu import batched_genotype_pls_exact
+
+        by_k: dict[int, list[tuple[int, str, list[int]]]] = {}
+        for row_idx, (_bi, _prepared, variant, supports) in enumerate(pending_rows):
+            k = len(variant.alts) + 1
+            for sample_name, sup in supports.items():
+                counts = [sup.total_allele_cov(i) for i in range(k)]
+                by_k.setdefault(k, []).append((row_idx, sample_name, counts))
+
+        tables: dict[int, dict[str, object]] = {}
+        with self.stage_timer.stage("genotype_pls_device"):
+            for k, rows in by_k.items():
+                counts = np.array([r[2] for r in rows], np.int64)
+                pls = batched_genotype_pls_exact(counts, k)
+                for (row_idx, sample_name, _c), pl_row in zip(rows, pls):
+                    tables.setdefault(row_idx, {})[sample_name] = pl_row
+        return tables
+
     def _batches(self):
         """Yield window batches from the list or the streaming iterator."""
         if self.streaming:
@@ -227,7 +258,11 @@ class BatchPipelineExecutor:
                     genotyper_mod._PAIR_CHUNK = old_chunk
 
             # ---- phase C: assemble + store -------------------------------
-            per_window_calls: dict[int, list[VariantCall]] = {}
+            # collect (variant, supports) rows first so the DM PL math of the
+            # WHOLE window batch goes to the device as one dispatch per
+            # allele-count K (reference budget: genotype_likelihood.cpp,
+            # 0.2% CPU — on TPU it rides the already-open device stream).
+            pending_rows: list[tuple[int, object, object, dict]] = []
             for (bi, ci, prepared, pc, pm), (sbi, sci, start, stop) in zip(
                 comp_data, spans
             ):
@@ -236,20 +271,26 @@ class BatchPipelineExecutor:
                     geno = genotyper.assemble_evidence(
                         prepared.reads, pc.variants, pm, comp_outs
                     )
-                calls = per_window_calls.setdefault(bi, [])
                 for vi, variant in enumerate(pc.variants):
                     supports = geno.get(vi)
                     if not supports:
                         continue
                     if not any(s.total_alt_cov() > 0 for s in supports.values()):
                         continue
-                    calls.append(
-                        VariantCall(
-                            variant, supports, prepared.sample_summaries,
-                            prepared.window.length,
-                            window_index=prepared.window.genome_index,
-                        )
+                    pending_rows.append((bi, prepared, variant, supports))
+
+            pls_tables = self._device_pl_tables(pending_rows, devices)
+
+            per_window_calls: dict[int, list[VariantCall]] = {}
+            for row_idx, (bi, prepared, variant, supports) in enumerate(pending_rows):
+                per_window_calls.setdefault(bi, []).append(
+                    VariantCall(
+                        variant, supports, prepared.sample_summaries,
+                        prepared.window.length,
+                        window_index=prepared.window.genome_index,
+                        pls_lookup=pls_tables.get(row_idx),
                     )
+                )
 
             for bi, item in enumerate(prepared_items):
                 if item is None:

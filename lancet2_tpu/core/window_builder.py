@@ -226,13 +226,3 @@ class WindowBuilder:
         if cluster:
             yield from flush_cluster()
 
-    def build_windows_batched(self, batch_size: int = DEFAULT_NUM_WINDOWS_BATCH):
-        """Streamed batches for WGS memory control (true generator)."""
-        batch: list[Window] = []
-        for w in self.iter_windows():
-            batch.append(w)
-            if len(batch) >= batch_size:
-                yield batch
-                batch = []
-        if batch:
-            yield batch

@@ -669,6 +669,313 @@ struct PruneCtx {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Fused assemble pass: build + lowcov + components + anchors + prune
+// ---------------------------------------------------------------------------
+//
+// One call per (window, k) attempt on the fast path (no probe tracker, no
+// graph snapshots): the k-mer pass feeds survivor nodes straight into
+// component marking, ref-anchor selection, and the per-component prune
+// cascade — Python materializes ONLY the final pruned nodes (hundreds, not
+// the pre-prune tens of thousands). Mirrors cbdg/graph.py
+// build_component_results phases 1-4 (reference: graph.cpp:106-235).
+//
+// Outputs are flat survivor arrays grouped by PASSING component in
+// size-descending component order (the reference's processing order), with
+// per-component source/sink ids and ref anchor offsets. Within a
+// component, nodes keep first-occurrence order (the Python table order
+// downstream traversal indexing depends on).
+
+extern "C" int64_t l2t_assemble_pass(
+    // sequences (same layout as l2t_kmer_pass)
+    const uint8_t* codes, const int64_t* offsets, const uint8_t* quals,
+    const uint8_t* labels, const uint8_t* is_read, const int32_t* sample_idx,
+    const uint8_t* tags, const uint64_t* qhash, const double* err_table,
+    int64_t n_seqs, int64_t k, int64_t num_samples, int64_t min_node_cov,
+    uint8_t label_case, uint8_t label_ref,
+    int64_t min_anchor_cov, int64_t min_anchor_len,
+    // outputs: per surviving node (compacted, comp-grouped)
+    uint64_t* out_nid, uint8_t* out_seq, int64_t* out_seq_off,
+    uint8_t* out_sign, uint8_t* out_label, int64_t* out_counts,
+    int64_t* out_roles, int32_t* out_comp,
+    uint64_t* out_e_dst, uint8_t* out_e_kind, int64_t* out_e_off,
+    // outputs: per passing component
+    uint64_t* out_c_source, uint64_t* out_c_sink,
+    int64_t* out_c_src_off, int64_t* out_c_anchor_len, int32_t* out_c_id,
+    int64_t* out_n_comps,
+    // capacities
+    int64_t cap_nodes, int64_t cap_seq, int64_t cap_edges, int64_t cap_comps) {
+  // ---- phase 1: k-mer pass (occurrence scan, counts, survivor flags) ----
+  int64_t n_occ = 0;
+  for (int64_t si = 0; si < n_seqs; ++si) {
+    int64_t len = offsets[si + 1] - offsets[si];
+    if (len >= k) n_occ += len - k + 1;
+  }
+  if (n_occ == 0) { *out_n_comps = 0; return 0; }
+
+  struct UNode {
+    uint64_t nid;
+    int64_t first_occ;   // (si, pos) packed: si * big + pos? keep separate
+    int32_t first_si;
+    int32_t first_pos;
+    uint8_t sign, label;
+    std::vector<int64_t> counts;
+    int64_t roles[2] = {0, 0};
+  };
+  std::vector<UNode> uniq;
+  uniq.reserve(1 << 14);
+  std::unordered_map<uint64_t, int64_t> uid_of;
+  uid_of.reserve((size_t)n_occ * 2);
+  std::unordered_set<TripleKey, TripleHash> seen_triples;
+  seen_triples.reserve((size_t)n_occ * 2);
+  std::unordered_set<PairKey, PairHash> seen_pairs;
+  seen_pairs.reserve((size_t)n_occ * 2);
+  std::vector<PairKey> pairs;
+  pairs.reserve(4096);
+  std::vector<uint64_t> ref_node_ids;  // ref path in kmer order
+
+  std::vector<uint8_t> rc(k);
+  std::vector<double> prefix;
+
+  for (int64_t si = 0; si < n_seqs; ++si) {
+    int64_t lo = offsets[si], hi = offsets[si + 1];
+    int64_t len = hi - lo;
+    if (len < k) continue;
+    int64_t m = len - k + 1;
+    const uint8_t* seq = codes + lo;
+    bool read = is_read[si] != 0;
+    bool is_ref_seq = labels[si] == label_ref;
+    if (read) {
+      prefix.resize(len + 1);
+      prefix[0] = 0.0;
+      const uint8_t* qrow = quals + lo;
+      for (int64_t j = 0; j < len; ++j)
+        prefix[j + 1] = prefix[j] + err_table[qrow[j]];
+    }
+    uint64_t prev_id = 0;
+    for (int64_t p = 0; p < m; ++p) {
+      const uint8_t* fwd = seq + p;
+      uint8_t sign = 0;
+      const uint8_t* canon = fwd;
+      for (int64_t j = 0; j < k; ++j) {
+        uint8_t f = fwd[j];
+        uint8_t r = COMPLEMENT[fwd[k - 1 - j] < 5 ? fwd[k - 1 - j] : 4];
+        if (f != r) {
+          if (f > r) {
+            sign = 1;
+            for (int64_t t = 0; t < k; ++t)
+              rc[t] = COMPLEMENT[fwd[k - 1 - t] < 5 ? fwd[k - 1 - t] : 4];
+            canon = rc.data();
+          }
+          break;
+        }
+      }
+      uint64_t id = hash_kmer(canon, k);
+      if (is_ref_seq) ref_node_ids.push_back(id);
+
+      auto it = uid_of.find(id);
+      int64_t ui;
+      if (it == uid_of.end()) {
+        ui = (int64_t)uniq.size();
+        uid_of.emplace(id, ui);
+        uniq.push_back(UNode());
+        UNode& u = uniq.back();
+        u.nid = id;
+        u.first_si = (int32_t)si;
+        u.first_pos = (int32_t)p;
+        u.sign = sign;
+        u.label = labels[si];
+        u.counts.assign(num_samples, 0);
+      } else {
+        ui = it->second;
+      }
+
+      if (read) {
+        double window_err = prefix[p + k] - prefix[p];
+        if (std::floor(window_err) <= 0.0) {
+          TripleKey tk{qhash[si], id, tags[si]};
+          if (seen_triples.insert(tk).second) {
+            uniq[ui].counts[sample_idx[si]] += 1;
+            uniq[ui].roles[tags[si] == label_case ? 1 : 0] += 1;
+          }
+        }
+      }
+      if (p > 0) {
+        PairKey pk{prev_id, id};
+        if (seen_pairs.insert(pk).second) pairs.push_back(pk);
+      }
+      prev_id = id;
+    }
+  }
+
+  // ---- survivors (RemoveLowCovNodes(0) folded in) -----------------------
+  // Python materializes in first-occurrence order via a stable argsort of
+  // first_idx; our insertion order IS first-occurrence order already.
+  std::vector<int64_t> surv_slot(uniq.size(), -1);
+  PruneCtx ctx;
+  ctx.k = k;
+  ctx.num_samples = num_samples;
+  ctx.min_node_cov = min_node_cov;
+  ctx.nodes.reserve(uniq.size() / 4);
+  for (size_t ui = 0; ui < uniq.size(); ++ui) {
+    const UNode& u = uniq[ui];
+    int64_t total = 0;
+    bool any_pos = false, all_le1 = true;
+    for (int64_t s = 0; s < num_samples; ++s) {
+      total += u.counts[s];
+      if (u.counts[s] > 0) any_pos = true;
+      if (u.counts[s] > 1) all_le1 = false;
+    }
+    bool all_singleton = any_pos && all_le1;
+    if (all_singleton || total < min_node_cov) continue;
+    surv_slot[ui] = (int64_t)ctx.nodes.size();
+    ctx.nodes.push_back(PNode());
+    PNode& n = ctx.nodes.back();
+    n.nid = u.nid;
+    const uint8_t* fwd = codes + offsets[u.first_si] + u.first_pos;
+    n.seq.resize(k);
+    if (u.sign == 0) {
+      std::memcpy(n.seq.data(), fwd, (size_t)k);
+    } else {
+      for (int64_t t = 0; t < k; ++t)
+        n.seq[t] = COMPLEMENT[fwd[k - 1 - t] < 5 ? fwd[k - 1 - t] : 4];
+    }
+    n.sign = u.sign;
+    n.label = u.label;
+    n.counts = u.counts;
+    n.roles[0] = u.roles[0];
+    n.roles[1] = u.roles[1];
+    ctx.idx.emplace(n.nid, (int32_t)surv_slot[ui]);
+  }
+
+  // ---- edges among survivors (sorted (s, d), Python np.unique order) ----
+  std::sort(pairs.begin(), pairs.end(), [](const PairKey& a, const PairKey& b) {
+    return a.s != b.s ? a.s < b.s : a.d < b.d;
+  });
+  for (const auto& pk : pairs) {
+    auto si_ = ctx.idx.find(pk.s);
+    auto di_ = ctx.idx.find(pk.d);
+    if (si_ == ctx.idx.end() || di_ == ctx.idx.end()) continue;
+    PNode& sn = ctx.nodes[si_->second];
+    PNode& dn = ctx.nodes[di_->second];
+    uint8_t kind = make_kind(sn.sign, dn.sign);
+    PruneCtx::emplace_edge(sn, PEdge{pk.d, kind});
+    PruneCtx::emplace_edge(dn, PEdge{pk.s, rev_kind(kind)});
+  }
+
+  // ---- connected components (table-order BFS, then size-desc) -----------
+  std::vector<int32_t> comp_of(ctx.nodes.size(), 0);
+  std::vector<std::pair<int32_t, int64_t>> comp_sizes;  // (comp_id, n_nodes)
+  int32_t current = 0;
+  std::vector<int32_t> stack;
+  for (size_t i = 0; i < ctx.nodes.size(); ++i) {
+    if (comp_of[i] != 0) continue;
+    ++current;
+    int64_t count = 0;
+    stack.push_back((int32_t)i);
+    while (!stack.empty()) {
+      int32_t cur = stack.back();
+      stack.pop_back();
+      if (comp_of[cur] != 0) continue;
+      comp_of[cur] = current;
+      ++count;
+      for (const auto& e : ctx.nodes[cur].edges) {
+        auto it = ctx.idx.find(e.dst);
+        if (it != ctx.idx.end() && comp_of[it->second] == 0)
+          stack.push_back(it->second);
+      }
+    }
+    comp_sizes.emplace_back(current, count);
+  }
+  std::stable_sort(comp_sizes.begin(), comp_sizes.end(),
+                   [](auto const& a, auto const& b) { return a.second > b.second; });
+
+  // ---- per component: anchors + prune -----------------------------------
+  int64_t n_out_nodes = 0, seq_pos = 0, edge_pos = 0, n_comps = 0;
+  out_seq_off[0] = 0;
+  out_e_off[0] = 0;
+  for (auto const& [comp_id, comp_n] : comp_sizes) {
+    // find_source / find_sink over the ref path
+    int64_t src_off = -1, sink_off = -1;
+    uint64_t src_id = 0, sink_id = 0;
+    for (size_t ri = 0; ri < ref_node_ids.size(); ++ri) {
+      auto it = ctx.idx.find(ref_node_ids[ri]);
+      if (it == ctx.idx.end() || !ctx.nodes[it->second].in_table) continue;
+      const PNode& n = ctx.nodes[it->second];
+      if (comp_of[it->second] != comp_id) continue;
+      int64_t total = 0;
+      for (int64_t s = 0; s < num_samples; ++s) total += n.counts[s];
+      if (total < min_anchor_cov) continue;
+      if (src_off < 0) { src_off = (int64_t)ri; src_id = n.nid; }
+      sink_off = (int64_t)ri;
+      sink_id = n.nid;
+    }
+    if (src_off < 0 || sink_off < 0 || src_id == sink_id) continue;
+    int64_t anchor_len = sink_off - src_off + k;
+    if (anchor_len < min_anchor_len) continue;
+
+    ctx.source_id = src_id;
+    ctx.sink_id = sink_id;
+    // prune THIS component only: temporarily hide other comps
+    // (PruneCtx operates on in_table; comp filtering via a scoped vector)
+    std::vector<int32_t> members;
+    for (size_t i = 0; i < ctx.nodes.size(); ++i)
+      if (ctx.nodes[i].in_table && comp_of[i] == comp_id)
+        members.push_back((int32_t)i);
+    // run the cascade restricted to members: reuse PruneCtx but guard by
+    // comp: compress/lowcov/tips iterate all table nodes, so mask others
+    std::vector<uint8_t> saved_in(ctx.nodes.size());
+    for (size_t i = 0; i < ctx.nodes.size(); ++i) {
+      saved_in[i] = ctx.nodes[i].in_table;
+      if (comp_of[i] != comp_id) ctx.nodes[i].in_table = false;
+    }
+    ctx.compress_graph();
+    ctx.remove_low_cov();
+    ctx.compress_graph();
+    ctx.remove_tips();
+    for (size_t i = 0; i < ctx.nodes.size(); ++i)
+      if (comp_of[i] != comp_id && saved_in[i]) ctx.nodes[i].in_table = true;
+
+    if (n_comps >= cap_comps) return -1;
+    out_c_source[n_comps] = src_id;
+    out_c_sink[n_comps] = sink_id;
+    out_c_src_off[n_comps] = src_off;
+    out_c_anchor_len[n_comps] = anchor_len;
+    out_c_id[n_comps] = comp_id;
+    ++n_comps;
+
+    for (int32_t i : members) {
+      const PNode& n = ctx.nodes[i];
+      if (!n.in_table) continue;
+      int64_t slen = (int64_t)n.seq.size();
+      int64_t elen = (int64_t)n.edges.size();
+      if (n_out_nodes >= cap_nodes || seq_pos + slen > cap_seq ||
+          edge_pos + elen > cap_edges)
+        return -1;
+      out_nid[n_out_nodes] = n.nid;
+      std::memcpy(out_seq + seq_pos, n.seq.data(), (size_t)slen);
+      seq_pos += slen;
+      out_sign[n_out_nodes] = n.sign;
+      out_label[n_out_nodes] = n.label;
+      for (int64_t s = 0; s < num_samples; ++s)
+        out_counts[n_out_nodes * num_samples + s] = n.counts[s];
+      out_roles[n_out_nodes * 2] = n.roles[0];
+      out_roles[n_out_nodes * 2 + 1] = n.roles[1];
+      out_comp[n_out_nodes] = comp_id;
+      for (const auto& e : n.edges) {
+        out_e_dst[edge_pos] = e.dst;
+        out_e_kind[edge_pos] = e.kind;
+        ++edge_pos;
+      }
+      ++n_out_nodes;
+      out_seq_off[n_out_nodes] = seq_pos;
+      out_e_off[n_out_nodes] = edge_pos;
+    }
+  }
+  *out_n_comps = n_comps;
+  return n_out_nodes;
+}
+
 // Prune one component: compress -> lowcov -> compress -> tips.
 //
 // Inputs: the component's nodes in Python-table order (flat arrays), edges

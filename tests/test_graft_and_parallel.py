@@ -107,3 +107,30 @@ class TestBandedWindowStep:
         np.testing.assert_array_equal(
             np.asarray(full["pls"]), np.asarray(banded["pls"])
         )
+
+
+class TestDevicePlsExact:
+    def test_f64_device_pls_match_host_engine(self):
+        """batched_genotype_pls_exact (scoped-x64 device DM PLs, used by the
+        batch executor's phase C on accelerators) must be bit-equal to the
+        host float64 engine across depths and allele counts. float32 was
+        measured insufficient (74/1108 off-by-one at K=2) — this pins the
+        f64 requirement."""
+        import numpy as np
+
+        from lancet2_tpu.caller.likelihood import compute_genotype_pls
+        from lancet2_tpu.ops.genotype_tpu import batched_genotype_pls_exact
+
+        rng = np.random.default_rng(7)
+        for K in (2, 3, 4):
+            counts = np.concatenate([
+                rng.integers(0, 60, (120, K)),
+                rng.integers(0, 3000, (60, K)),
+                np.zeros((4, K), np.int64),
+            ]).astype(np.int64)
+            pls = batched_genotype_pls_exact(counts, K)
+            for i in range(len(counts)):
+                host = np.asarray(compute_genotype_pls(list(counts[i])), np.int64)
+                assert np.array_equal(pls[i], host), (
+                    f"K={K} counts={counts[i]}: device {pls[i]} != host {host}"
+                )

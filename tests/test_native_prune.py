@@ -60,9 +60,15 @@ def _make_reads(ref: str, variants, seed: int, coverage: float = 45.0):
     return reads
 
 
-def _snapshot(graph: Graph):
+def _snapshot(graph: Graph, comp_ids=None):
+    """Node-table snapshot; comp_ids filters to components of interest (the
+    fused native path drops failed-anchor components from the table, the
+    stepwise path leaves them unpruned — only passing components are
+    observable downstream)."""
     table = []
     for nid, node in graph.nodes.items():
+        if comp_ids is not None and node.comp_id not in comp_ids:
+            continue
         table.append(
             (
                 nid,
@@ -85,6 +91,10 @@ def _run(ref_codes, reads, use_native: bool, monkeypatch):
         monkeypatch.setattr(
             Graph, "_prune_component_native", lambda self, c, k: False
         )
+        monkeypatch.setattr(
+            Graph, "_assemble_native_k",
+            lambda self, rc, rd, k, res: (False, False),
+        )
     results = g.build_component_results(ref_codes, reads, "t")
     haps = [
         (p.sequence, p.min_weight())
@@ -93,11 +103,23 @@ def _run(ref_codes, reads, use_native: bool, monkeypatch):
     ]
     if not use_native:
         monkeypatch.undo()
-    return haps, _snapshot(g)
+    return haps, g
+
+
+@pytest.fixture()
+def _compare(monkeypatch):
+    def run(ref_codes, reads):
+        native_haps, g_nat = _run(ref_codes, reads, True, monkeypatch)
+        py_haps, g_py = _run(ref_codes, reads, False, monkeypatch)
+        assert native_haps == py_haps
+        passing = {n.comp_id for n in g_nat.nodes.values()}
+        assert _snapshot(g_nat) == _snapshot(g_py, comp_ids=passing)
+        return native_haps
+    return run
 
 
 @pytest.mark.parametrize("seed", [3, 17, 42])
-def test_prune_parity_on_simulated_windows(seed, monkeypatch):
+def test_prune_parity_on_simulated_windows(seed, _compare):
     rng = np.random.default_rng(seed)
     ref = random_reference(1400, seed=seed)
     pos = int(rng.integers(400, 900))
@@ -111,23 +133,13 @@ def test_prune_parity_on_simulated_windows(seed, monkeypatch):
             Variant(pos0=ins_pos, ref=ref[ins_pos], alt=ref[ins_pos] + "TTAC", vaf=0.5)
         )
     reads = _make_reads(ref, variants, seed)
-    ref_codes = encode(ref)
-
-    native_haps, native_table = _run(ref_codes, reads, True, monkeypatch)
-    py_haps, py_table = _run(ref_codes, reads, False, monkeypatch)
-
-    assert native_haps == py_haps
-    assert native_table == py_table
-    assert native_haps, "fixture must assemble at least the REF haplotype"
+    haps = _compare(encode(ref), reads)
+    assert haps, "fixture must assemble at least the REF haplotype"
 
 
-def test_prune_parity_tip_heavy(monkeypatch):
+def test_prune_parity_tip_heavy(_compare):
     """Low coverage + errors => tips and singletons exercise lowcov/tips."""
     ref = random_reference(1200, seed=99)
     variants = [Variant(pos0=600, ref=ref[600:604], alt=ref[600], vaf=0.5)]
     reads = _make_reads(ref, variants, seed=7, coverage=14.0)
-    ref_codes = encode(ref)
-    native_haps, native_table = _run(ref_codes, reads, True, monkeypatch)
-    py_haps, py_table = _run(ref_codes, reads, False, monkeypatch)
-    assert native_haps == py_haps
-    assert native_table == py_table
+    _compare(encode(ref), reads)

@@ -128,6 +128,37 @@ def _plant_zoo(ref_seq):
     return zoo
 
 
+def _fp_pressure_reads(ref_seq, ref_len):
+    """FP-pressure classes (no truth variants): mapped garbage reads
+    (minimap2 would return no hit; our gate must exclude them) and
+    half-window clip surrogates (real prefix + garbage suffix)."""
+    import numpy as np
+
+    from lancet2_tpu.hts.bam import BamRecord
+    from lancet2_tpu.utils.simulate import random_reference
+
+    rng = np.random.default_rng(44)
+    L = 125
+    press = []
+    for i in range(60):
+        pos = int(rng.integers(200, ref_len - 200))
+        seq = random_reference(L, seed=9000 + i)
+        press.append(BamRecord(
+            qname=f"junk{i}", flag=0, ref_id=0, pos0=pos, mapq=60,
+            cigar=[(0, L)], next_ref_id=-1, next_pos0=-1, tlen=0, seq=seq,
+            qual=np.full(L, 35, np.uint8), tags={"MD": str(L)}))
+    for i in range(60):
+        pos = int(rng.integers(200, ref_len - 200))
+        half = (ref_seq[pos : pos + L // 2]
+                + random_reference(L - L // 2, seed=9500 + i))
+        press.append(BamRecord(
+            qname=f"clip{i}", flag=0, ref_id=0, pos0=pos, mapq=60,
+            cigar=[(0, L // 2), (4, L - L // 2)], next_ref_id=-1,
+            next_pos0=-1, tlen=0, seq=half,
+            qual=np.full(L, 35, np.uint8), tags={"MD": str(L // 2)}))
+    return press
+
+
 @pytest.fixture(scope="module")
 def zoo_run(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("zoo")
@@ -145,8 +176,21 @@ def zoo_run(tmp_path_factory):
     ReadSimulator(ref_seq, chrom, seed=32).simulate([], 40.0, wn, qname_prefix="n")
     wn.close()
     tumor = str(tmp / "tumor.bam")
+
+    class _Collect:
+        def __init__(self):
+            self.recs = []
+
+        def add(self, rec):
+            self.recs.append(rec)
+
+    col = _Collect()
+    ReadSimulator(ref_seq, chrom, seed=33).simulate(somatic, 65.0, col, qname_prefix="t")
+    recs = sorted(col.recs + _fp_pressure_reads(ref_seq, ref_len),
+                  key=lambda r: r.pos0)
     wt = BamWriter(tumor, refs, sample_name="TUMOR")
-    ReadSimulator(ref_seq, chrom, seed=33).simulate(somatic, 65.0, wt, qname_prefix="t")
+    for r in recs:
+        wt.add(r)
     wt.close()
 
     header, records = _run_pipeline(tmp, fasta, normal, tumor)
@@ -190,7 +234,11 @@ class TestAdversarialZoo:
         }
         fp = call_keys - truth_keys
         precision = (len(call_keys) - len(fp)) / len(call_keys)
-        assert precision >= 0.80, f"precision {precision:.2f}; FPs: {sorted(fp)[:10]}"
+        # gate holds the achieved line (0.90 measured WITH the garbage +
+        # half-clip FP-pressure reads in the tumor BAM; the one surviving FP
+        # is a CPX-satellite representation, not a pressure-read artifact) —
+        # lowering this requires a deliberate commit
+        assert precision >= 0.90, f"precision {precision:.2f}; FPs: {sorted(fp)[:10]}"
 
     def test_somatic_state(self, zoo_run):
         _ref, _zoo, records, _keys = zoo_run
