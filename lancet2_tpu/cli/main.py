@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     # toggles
     pl.add_argument("--verbose", action="store_true")
     pl.add_argument("--extract-pairs", action="store_true")
+    pl.add_argument("--read-filter", default=None, metavar="EXPR",
+                    help="samtools filter expression applied to collected "
+                         "reads, e.g. 'mapq >= 30 && !flag.dup && [NM] <= 4' "
+                         "(hts/filter_expr.py; reference: htslib hts_filter)")
     pl.add_argument("--stream-bam", action="store_true",
                     help="BAI-indexed streaming BAM access (bounded memory "
                          "for multi-GB inputs; builds the .bai when missing)")
@@ -200,6 +204,15 @@ def run_pipeline(args, command_line: str) -> dict:
 
     if not args.normal and not args.tumor and not args.sample:
         raise SystemExit("at least one of --normal/--tumor/--sample is required")
+
+    if args.read_filter:
+        # startup fail-fast, like the reference's SetFilterExpression
+        from lancet2_tpu.hts.filter_expr import FilterExprError, compile_filter
+
+        try:
+            compile_filter(args.read_filter)
+        except FilterExprError as exc:
+            raise SystemExit(f"invalid --read-filter expression: {exc}")
 
     ref = Reference(args.reference)
     samples = make_sample_list(args.normal, args.tumor, args.sample)
@@ -329,6 +342,7 @@ def run_pipeline(args, command_line: str) -> dict:
         collector=CollectorParams(
             max_sample_cov=args.max_sample_cov, extract_pairs=args.extract_pairs,
             stream_bam=args.stream_bam, ref_path=args.reference,
+            filter_expr=args.read_filter,
         ),
         skip_active_region=skip_active,
         gc_fraction=args.genome_gc_bias,

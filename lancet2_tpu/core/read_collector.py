@@ -36,6 +36,9 @@ class CollectorParams:
     stream_bam: bool = False
     # reference FASTA path: required to decode reference-based CRAM inputs
     ref_path: str | None = None
+    # samtools filter expression applied before the profile filters
+    # (reference: hts_filter on the extractor, extractor.cpp:57-63)
+    filter_expr: str | None = None
 
 
 def _passes_profile_filters(rec) -> bool:
@@ -50,6 +53,11 @@ class ReadCollector:
             s.path: open_bam(s.path, stream=params.stream_bam, ref=params.ref_path)
             for s in samples
         }
+        self.read_filter = None
+        if params.filter_expr:
+            from lancet2_tpu.hts.filter_expr import compile_filter
+
+            self.read_filter = compile_filter(params.filter_expr)
 
     @property
     def is_case_ctrl_mode(self) -> bool:
@@ -65,6 +73,8 @@ class ReadCollector:
         for sinfo in self.samples:
             reader = self.readers[sinfo.path]
             records = [r for r in reader.fetch(chrom, start1, end1) if _passes_profile_filters(r)]
+            if self.read_filter is not None:
+                records = [r for r in records if self.read_filter(r)]
 
             # Pass 1: profile + deterministic downsample
             from lancet2_tpu.base.hashing import hash_str64
