@@ -106,12 +106,141 @@ class MutationAccumulator:
         return False
 
 
+def _record_events(rec: BamRecord) -> list[tuple[int, int]]:
+    """(genome_pos, kind) mutation events of one read; kind 0=mismatch
+    (MD + X ops share one map, like the reference), 1=ins, 2=del, 3=clip."""
+    if rec.is_qcfail or rec.is_duplicate or rec.is_unmapped or rec.mapq == 0:
+        return []
+    events: list[tuple[int, int]] = []
+    md = rec.tags.get("MD")
+    if isinstance(md, str):
+        genome_pos = rec.pos0
+        token = ""
+        i, n = 0, len(md)
+        quals = rec.qual
+        start0 = rec.pos0
+        while i < n:
+            ch = md[i]
+            if ch.isdigit():
+                token += ch
+                i += 1
+                continue
+            genome_pos += int(token) if token else 0
+            token = ""
+            if ch == "^":
+                i += 1
+                while i < n and md[i].isalpha():
+                    i += 1
+                    genome_pos += 1
+                continue
+            base_pos = genome_pos - start0
+            if 0 <= base_pos < len(quals) and quals[base_pos] >= MIN_BASE_QUAL:
+                if ch.upper() in "ACGT":
+                    events.append((genome_pos, 0))
+            genome_pos += 1
+            i += 1
+    pos = rec.pos0
+    for op, length in rec.cigar:
+        if op in CONSUMES_REF:
+            pos += length
+        if op == I:
+            events.append((pos, 1))
+        elif op == D:
+            events.append((pos, 2))
+        elif op == X:
+            events.append((pos, 0))
+    if rec.cigar:
+        if rec.cigar[0][0] == S:
+            events.append((rec.pos0, 3))
+        if len(rec.cigar) > 1 and rec.cigar[-1][0] == S:
+            events.append((rec.reference_end0(), 3))
+    return events
+
+
+def _event_index(reader: BamReader):
+    """Per-read mutation events, computed ONCE per file and cached on the
+    reader: {rid: (starts, run_max_end, ev_pos, ev_kind, ev_off)} with
+    reads in the fetch index's start-sorted order. Turns the per-window MD
+    state machine re-parse into two searchsorteds + a duplicate check."""
+    cached = getattr(reader, "_active_event_index", None)
+    if cached is not None:
+        return cached
+    import numpy as np
+
+    if reader._by_contig is None:
+        reader._build_index()
+    index: dict[int, tuple] = {}
+    for rid, (starts, run_max_end, ends, handles) in reader._by_contig.items():
+        ev_pos: list[int] = []
+        ev_kind: list[int] = []
+        ev_off = np.zeros(len(starts) + 1, dtype=np.int64)
+        for j in range(len(starts)):
+            h = handles[j]
+            rec = reader._record_at(int(h)) if not isinstance(h, BamRecord) else h
+            for p, kd in _record_events(rec):
+                ev_pos.append(p)
+                ev_kind.append(kd)
+            ev_off[j + 1] = len(ev_pos)
+        index[rid] = (
+            starts, run_max_end, ends,
+            np.asarray(ev_pos, dtype=np.int64),
+            np.asarray(ev_kind, dtype=np.int64),
+            ev_off,
+        )
+    reader._active_event_index = index
+    return index
+
+
 def is_active_region(readers: list[BamReader], chrom: str, start1: int, end1: int) -> bool:
+    """True when, within one sample, >=2 reads overlapping the window carry
+    the same-kind mutation event at the same genome position (the event
+    itself may sit just outside the window — reference semantics: events of
+    overlapping reads, not events within bounds)."""
+    import numpy as np
+
     for reader in readers:
-        acc = MutationAccumulator()
-        for rec in reader.fetch(chrom, start1, end1):
-            if acc.check_alignment(rec):
-                return True
+        index = getattr(reader, "_active_event_index", None)
+        if index is None and not hasattr(reader, "_by_contig"):
+            # streaming readers: fall back to the per-window accumulator
+            acc = MutationAccumulator()
+            for rec in reader.fetch(chrom, start1, end1):
+                if acc.check_alignment(rec):
+                    return True
+            continue
+        index = _event_index(reader)
+        rid = reader.ref_id(chrom)
+        entry = index.get(rid)
+        if entry is None:
+            continue
+        starts, run_max_end, ends, ev_pos, ev_kind, ev_off = entry
+        lo0, hi0 = start1 - 1, end1
+        hi_idx = int(np.searchsorted(starts, hi0, side="left"))
+        # overlapping reads: scan back until the running max end clears lo0
+        lo_idx = hi_idx
+        for j in range(hi_idx - 1, -1, -1):
+            if run_max_end[j] <= lo0:
+                break
+            lo_idx = j
+        if lo_idx >= hi_idx:
+            continue
+        # gather events of reads [lo_idx, hi_idx) that truly overlap
+        segs = []
+        for j in range(lo_idx, hi_idx):
+            if ends[j] <= lo0:
+                continue
+            a, b = int(ev_off[j]), int(ev_off[j + 1])
+            if a < b:
+                segs.append((a, b))
+        if not segs:
+            continue
+        keys = np.concatenate([
+            ev_pos[a:b] * 4 + ev_kind[a:b] for a, b in segs
+        ])
+        if keys.size < 2:
+            continue
+        keys.sort()
+        if bool((keys[1:] == keys[:-1]).any()):
+            return True
     return False
 
 

@@ -81,6 +81,11 @@ class BatchPipelineExecutor:
         # explicit device list for evidence-chunk round-robin (multi-chip);
         # None = auto (all devices when the default backend is an accelerator)
         self.devices = devices
+        # persistent per-worker builders over ONE shared reader pool:
+        # whole-file decode + the active-region event index happen once per
+        # input file for the whole run, not once per (batch, worker)
+        self._reader_pool: dict = {}
+        self._builders: list[VariantBuilder | None] = [None] * self.num_workers
 
     def _device_pl_tables(self, pending_rows, devices):
         """Batched device DM PLs for every (call, sample) of a window batch.
@@ -146,6 +151,16 @@ class BatchPipelineExecutor:
         )
         genotyper = Genotyper(backend="evidence", devices=devices)
 
+        # sequential builder construction: the first one decodes each input
+        # file into the shared pool; the rest attach to it
+        for wid in range(self.num_workers):
+            if self._builders[wid] is None:
+                samples = [copy.copy(s) for s in self.samples]
+                self._builders[wid] = VariantBuilder(
+                    self.params, self.ref, samples,
+                    reader_pool=self._reader_pool,
+                )
+
         flushed = 0
         num_done = 0
         failures: list = []
@@ -160,14 +175,14 @@ class BatchPipelineExecutor:
                 work_q.put((bi, w))
 
             def prep_worker(worker_id: int) -> None:
-                samples = [copy.copy(s) for s in self.samples]
-                builder = VariantBuilder(self.params, self.ref, samples)
+                builder = self._builders[worker_id]
                 while True:
                     try:
                         bi, window = work_q.get_nowait()
                     except queue.Empty:
                         with self._timer_lock:
                             self.stage_timer.merge(builder.timer)
+                        builder.timer = StageTimer()  # builders persist
                         return
                     try:
                         prepared = builder.prepare_window(window)
@@ -175,6 +190,7 @@ class BatchPipelineExecutor:
                         failures.append((window, exc, traceback.format_exc()))
                         with self._timer_lock:
                             self.stage_timer.merge(builder.timer)
+                        builder.timer = StageTimer()  # builders persist
                         return
                     prepared_items[bi] = (prepared, builder.current_code)
 

@@ -46,13 +46,23 @@ def _passes_profile_filters(rec) -> bool:
 
 
 class ReadCollector:
-    def __init__(self, params: CollectorParams, samples: list[SampleInfo]):
+    def __init__(self, params: CollectorParams, samples: list[SampleInfo],
+                 reader_pool: dict | None = None):
         self.params = params
         self.samples = samples
-        self.readers: dict[str, BamReader] = {
-            s.path: open_bam(s.path, stream=params.stream_bam, ref=params.ref_path)
-            for s in samples
-        }
+        # reader_pool: share decoded BAM/CRAM readers across collectors
+        # (e.g. the batch executor's prep workers) — whole-file decode and
+        # the active-region event index then happen once per file, not once
+        # per worker. Missing entries are opened and published to the pool.
+        self.readers: dict[str, BamReader] = {}
+        for s in samples:
+            if reader_pool is not None and s.path in reader_pool:
+                self.readers[s.path] = reader_pool[s.path]
+                continue
+            reader = open_bam(s.path, stream=params.stream_bam, ref=params.ref_path)
+            self.readers[s.path] = reader
+            if reader_pool is not None:
+                reader_pool[s.path] = reader
         self.read_filter = None
         if params.filter_expr:
             from lancet2_tpu.hts.filter_expr import compile_filter

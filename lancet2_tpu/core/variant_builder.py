@@ -66,14 +66,15 @@ class PreparedWindow:
 
 class VariantBuilder:
     def __init__(self, params: BuilderParams, ref: Reference, samples: list[SampleInfo],
-                 probe_tracker=None, shard_writer=None):
+                 probe_tracker=None, shard_writer=None, reader_pool: dict | None = None):
         self.shard_writer = shard_writer
         self.params = params
         self.ref = ref
         self.samples = samples
         self.graph = Graph(params.graph, probe_tracker=probe_tracker,
                            shard_writer=shard_writer)
-        self.collector = ReadCollector(params.collector, samples)
+        self.collector = ReadCollector(params.collector, samples,
+                                       reader_pool=reader_pool)
         self.genotyper = Genotyper(backend=params.aligner_backend)
         self.seq_cx_scorer = SequenceComplexityScorer(params.gc_fraction)
         self.current_code = StatusCode.UNKNOWN
