@@ -62,6 +62,10 @@ class ReadCollector:
             reader = open_bam(s.path, stream=params.stream_bam, ref=params.ref_path)
             self.readers[s.path] = reader
             if reader_pool is not None:
+                # eager index build before publication: shared readers must
+                # be fully initialized before prep threads fetch from them
+                if getattr(reader, "_by_contig", False) is None:
+                    reader._build_index()
                 reader_pool[s.path] = reader
         self.read_filter = None
         if params.filter_expr:

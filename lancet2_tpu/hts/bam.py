@@ -371,8 +371,12 @@ class BamReader:
         return self._records_raw
 
     def _build_index(self) -> None:
-        # per contig: (starts sorted, running max end, record handles)
-        self._by_contig = {}
+        # per contig: (starts sorted, running max end, record handles).
+        # Built into a LOCAL dict and published with one assignment: readers
+        # are shared across executor prep threads, and a concurrent fetch
+        # must never observe a partially-filled index (it would silently
+        # return zero reads for a contig).
+        index: dict = {}
         if self._cols is not None:
             cols = self._cols
             ref_ids = cols["ref_id"]
@@ -385,7 +389,8 @@ class BamReader:
                 order = idxs[np.argsort(pos[idxs], kind="stable")]
                 starts = pos[order]
                 run_max_end = np.maximum.accumulate(ends[order])
-                self._by_contig[int(rid)] = (starts, run_max_end, ends[order], order)
+                index[int(rid)] = (starts, run_max_end, ends[order], order)
+            self._by_contig = index
             return
         by: dict[int, list[BamRecord]] = {}
         for rec in self._records_raw:
@@ -397,7 +402,8 @@ class BamReader:
             starts = np.array([r.pos0 for r in recs], dtype=np.int64)
             ends = np.array([r.reference_end0() for r in recs], dtype=np.int64)
             run_max_end = np.maximum.accumulate(ends)
-            self._by_contig[rid] = (starts, run_max_end, ends, recs)
+            index[rid] = (starts, run_max_end, ends, recs)
+        self._by_contig = index
 
     def fetch(self, chrom: str, start1: int, end1: int) -> list[BamRecord]:
         """All records overlapping [start1, end1] (1-based inclusive)."""

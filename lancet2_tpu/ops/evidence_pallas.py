@@ -428,6 +428,61 @@ def _region_bucket(n: int) -> int:
     return 1 if n <= 1 else 2
 
 
+def span_pairs_submit(queries, quals, q_lens, targets, t_lens):
+    """Asynchronously dispatch one chunk to the R=0 SPAN kernel: score,
+    t_end, t_start, NM, and the descent taint — no region accumulators, so
+    the descent carries 3 planes instead of 10-17 (~score-only cost).
+
+    The two-pass production path (genotyper._run_evidence_pairs_device)
+    runs this over EVERY pair, then the full R-specialized evidence kernel
+    over only the pairs that pass the mapability gate AND overlap a
+    variant region (measured 22% of real-pipeline pairs)."""
+    queries = np.asarray(queries, np.uint8)
+    quals = np.asarray(quals, np.uint8)
+    targets = np.asarray(targets, np.uint8)
+    q_lens = np.asarray(q_lens, np.int32)
+    t_lens = np.asarray(t_lens, np.int32)
+    B, Lq = queries.shape
+    Lt = targets.shape[1]
+    qpad = (-Lq) % 8
+    if qpad:
+        queries = np.pad(queries, ((0, 0), (0, qpad)), constant_values=5)
+        quals = np.pad(quals, ((0, 0), (0, qpad)))
+        Lq += qpad
+    tpad = (-Lt) % 128
+    if tpad:
+        targets = np.pad(targets, ((0, 0), (0, tpad)), constant_values=5)
+        Lt += tpad
+    bpad = (-B) % B_TILE
+    if bpad:
+        queries = np.pad(queries, ((0, bpad), (0, 0)), constant_values=5)
+        quals = np.pad(quals, ((0, bpad), (0, 0)))
+        targets = np.pad(targets, ((0, bpad), (0, 0)), constant_values=5)
+        q_lens = np.pad(q_lens, (0, bpad), constant_values=Lq)
+        t_lens = np.pad(t_lens, (0, bpad), constant_values=Lt)
+    Bp = B + bpad
+    reg_packed = np.zeros((Bp, 8), np.int32)
+    interpret = jax.default_backend() == "cpu"
+    iout, fout = _device_call(
+        jnp.asarray(queries), jnp.asarray(quals), jnp.asarray(targets),
+        jnp.asarray(q_lens[:, None]), jnp.asarray(t_lens[:, None]),
+        jnp.asarray(reg_packed),
+        Lq=Lq, Lt=Lt, R=0, b_tile=B_TILE, interpret=interpret,
+    )
+    return iout, fout, B
+
+
+def span_pairs_finalize(iout, fout, B):
+    iout = np.asarray(iout)[:B]
+    return {
+        "score": iout[:, ICOL_SCORE].copy(),
+        "t_end": iout[:, ICOL_TEND].copy(),
+        "t_start": iout[:, ICOL_TSTART].copy(),
+        "nm": iout[:, ICOL_NM].copy(),
+        "overflow": iout[:, ICOL_OVF].astype(bool),
+    }
+
+
 def evidence_dp_pallas(queries, quals, q_lens, targets, t_lens, regions,
                        p: AlignParams = READ_TO_HAP):
     """Pallas evidence DP; numpy in/out matching ops.evidence_dp.evidence_dp,
