@@ -75,10 +75,44 @@ def bench_e2e_pipeline(ref_kb: int, threads: int = 8):
         parsed = build_parser().parse_args(argv)
         return run_pipeline(parsed, "bench " + " ".join(argv))
 
-    run(region=f"{fx['chrom']}:1-12000")  # warmup: compile device kernels
+    _warm_executor_kernels()
+    run(region=f"{fx['chrom']}:1-12000")  # warmup: pipeline shapes end-to-end
     s1 = run()
     s2 = run()
     return s1, s2, fx
+
+
+def _warm_executor_kernels():
+    """Compile every Mosaic kernel shape the executor run will dispatch
+    (R0 span @ pair_chunk, R1/R2 evidence @ pass-2 bucket): the tunnel
+    backend does not reuse persisted executables, and a shape that first
+    appears inside a timed run would poison it (observed: run1 at 0.37
+    win/s because the R=2@512 compile landed there)."""
+    import numpy as np
+
+    from lancet2_tpu.ops.evidence_pallas import (
+        evidence_pairs_submit,
+        span_pairs_submit,
+    )
+
+    rng = np.random.default_rng(0)
+    Lq, Lt = 160, 384
+    q = rng.integers(0, 4, (2048, Lq)).astype(np.uint8)
+    qu = np.full((2048, Lq), 35, np.uint8)
+    t = rng.integers(0, 4, (2048, Lt)).astype(np.uint8)
+    ql = np.full(2048, 125, np.int64)
+    tl = np.full(2048, 317, np.int64)
+    iout, _f, _b = span_pairs_submit(q, qu, ql, t, tl)
+    np.asarray(iout)
+    reg = np.zeros((512, 4, 2), np.int32)
+    reg[:, 0] = (100, 101)
+    iout, _f, _b, _r = evidence_pairs_submit(q[:512], qu[:512], ql[:512],
+                                             t[:512], tl[:512], reg)
+    np.asarray(iout)
+    reg[:, 1] = (200, 201)
+    iout, _f, _b, _r = evidence_pairs_submit(q[:512], qu[:512], ql[:512],
+                                             t[:512], tl[:512], reg)
+    np.asarray(iout)
 
 
 # ---------------------------------------------------------------------------
@@ -147,6 +181,44 @@ def bench_evidence_pallas():
             iout, fout = _device_call(
                 carry, qu, t, ql, tl, reg,
                 Lq=Lq, Lt=Lt, R=R, b_tile=128, interpret=interpret,
+            )
+            bump = (iout.sum() + fout.sum().astype(jnp.int32)) & 1
+            nxt = (carry + bump.astype(jnp.uint8)) % 4
+            return nxt, iout[0, 0]
+        _, ss = jax.lax.scan(body, qq, None, length=K)
+        return ss
+
+    fn = jax.jit(chained)
+    np.asarray(fn(q))
+    t0 = time.perf_counter()
+    np.asarray(fn(q))
+    per = (time.perf_counter() - t0) / K
+    return B * Lq * Lt / per / 1e9, per
+
+
+def bench_span_kernel():
+    """Amortized R=0 span-kernel rate (pass 1 of the two-pass dispatch) at
+    the executor shape — all output lanes consumed by the chained carry."""
+    import jax
+    import jax.numpy as jnp
+
+    from lancet2_tpu.ops.evidence_pallas import _device_call
+
+    B, Lq, Lt, K = 2048, 160, 384, 4
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.integers(0, 4, (B, Lq)), jnp.uint8)
+    qu = jnp.asarray(rng.integers(20, 40, (B, Lq)), jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, Lt)), jnp.uint8)
+    ql = jnp.full((B, 1), Lq, jnp.int32)
+    tl = jnp.full((B, 1), Lt, jnp.int32)
+    reg = jnp.zeros((B, 8), jnp.int32)
+    interpret = jax.default_backend() == "cpu"
+
+    def chained(qq):
+        def body(carry, _):
+            iout, fout = _device_call(
+                carry, qu, t, ql, tl, reg,
+                Lq=Lq, Lt=Lt, R=0, b_tile=128, interpret=interpret,
             )
             bump = (iout.sum() + fout.sum().astype(jnp.int32)) & 1
             nxt = (carry + bump.astype(jnp.uint8)) % 4
@@ -247,6 +319,7 @@ def main():
 
     sw_gcups, sw_dt = bench_sw_kernel()
     ev_gcups, ev_dt = bench_evidence_pallas()
+    span_gcups, span_dt = bench_span_kernel()
     gb_win_s, gb_dt, gb_compile, gb_nodes = bench_graph_build()
     step_win_s, step_dt = bench_window_step()
 
@@ -278,6 +351,10 @@ def main():
             "sw_kernel_gcups": round(sw_gcups, 2),
             "evidence_kernel_gcups": round(ev_gcups, 2),
             "evidence_kernel_ms_per_2048pair_chunk": round(ev_dt * 1e3, 2),
+            "span_kernel_gcups": round(span_gcups, 2),
+            "evidence_two_pass_effective_gcups": round(
+                1.0 / (1.0 / span_gcups + 0.221 / ev_gcups), 2
+            ),
             "graph_build_device_windows_per_s": round(gb_win_s, 2),
             "graph_build_device_ms": round(gb_dt * 1e3, 1),
             "graph_build_nodes": gb_nodes,

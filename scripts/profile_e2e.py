@@ -72,6 +72,10 @@ def main():
 
     if args.warmup:
         t0 = time.time()
+        if args.device == "tpu":
+            from bench import _warm_executor_kernels
+
+            _warm_executor_kernels()
         run_e2e(fx, args.executor, args.device, args.threads,
                 region=f"{fx['chrom']}:1-12000",
                 graph_backend=args.graph_backend)
