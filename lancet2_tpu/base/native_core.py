@@ -95,6 +95,15 @@ def _ensure_lib():
             _i64p, _i64p, _u64p, _u8p, _i64p,                # counts, roles, e_dst, e_kind, e_off
             ctypes.c_int64, ctypes.c_int64,                  # cap_seq, cap_edges
         ]
+        lib.l2t_tandem_repeats.restype = ctypes.c_int64
+        lib.l2t_tandem_repeats.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            _i32p, _i32p, _i32p, _i32p, _u8p,
+        ]
+        lib.l2t_has_approx_repeat.restype = ctypes.c_int32
+        lib.l2t_has_approx_repeat.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -342,3 +351,42 @@ def align_batch(queries, q_lens, targets, t_lens, p) -> list[dict] | None:
             }
         )
     return results
+
+
+def tandem_repeats(seq: str, max_period: int = 6):
+    """Native exact+approx tandem-repeat scan over an ASCII sequence.
+
+    Returns [(period, start, span, errors, is_exact), ...] in the same order
+    as find_exact_repeats(seq) + find_approx_repeats(seq), or None when the
+    native library is unavailable."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    cap = 64
+    while True:
+        period = np.empty(cap, np.int32)
+        start = np.empty(cap, np.int32)
+        span = np.empty(cap, np.int32)
+        errors = np.empty(cap, np.int32)
+        exact = np.empty(cap, np.uint8)
+        cnt = int(lib.l2t_tandem_repeats(
+            np.ascontiguousarray(buf), len(buf), max_period, cap,
+            period, start, span, errors, exact,
+        ))
+        if cnt <= cap:
+            return [
+                (int(period[i]), int(start[i]), int(span[i]),
+                 int(errors[i]), bool(exact[i]))
+                for i in range(cnt)
+            ]
+        cap = cnt
+
+
+def has_approx_repeat_native(codes, k: int, max_mismatch: int = 2):
+    """Native pairwise-Hamming repeat gate; None when unavailable."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    return bool(lib.l2t_has_approx_repeat(codes, codes.size, k, max_mismatch))

@@ -87,6 +87,12 @@ def has_approx_repeat(
     if max_mismatch <= 0:
         return has_exact_repeat(codes, k)
 
+    from lancet2_tpu.base import native_core
+
+    nat = native_core.has_approx_repeat_native(codes, k, max_mismatch)
+    if nat is not None:
+        return nat
+
     packed = pack_2bit(kmers)  # [n, w]
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)

@@ -214,6 +214,22 @@ def find_approx_repeats(
     return results
 
 
+def tandem_repeat_hits(window: str):
+    """find_exact_repeats(window) + find_approx_repeats(window), using the
+    native C++ scan (native/assembly_core.cpp::l2t_tandem_repeats, same hit
+    semantics and order) when available — the Python twins are the
+    correctness baseline and the fallback."""
+    from lancet2_tpu.base import native_core
+
+    nat = native_core.tandem_repeats(window)
+    if nat is None:
+        return find_exact_repeats(window) + find_approx_repeats(window)
+    return [
+        TandemRepeatResult(period, span / period, start, span, errors, exact)
+        for period, start, span, errors, exact in nat
+    ]
+
+
 def flatten_tr_features(results, variant_pos: int, variant_length: int):
     """(dist_to_nearest, period, purity, is_stutter) for TR hits near a variant."""
     dist_nearest = -1
@@ -368,7 +384,7 @@ class SequenceComplexityScorer:
         window = _extract_flank(alt_hap, alt_pos, alt_len, self.TR_MOTIF_FLANK)
         start = max(0, alt_pos - self.TR_MOTIF_FLANK)
         var_pos_in_window = alt_pos - start
-        hits = find_exact_repeats(window) + find_approx_repeats(window)
+        hits = tandem_repeat_hits(window)
         dist, period, purity, stutter = flatten_tr_features(hits, var_pos_in_window, alt_len)
         if dist < 0:
             cplx.tr_affinity, cplx.tr_purity, cplx.tr_period = 0.0, 0.0, 0

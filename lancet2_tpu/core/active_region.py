@@ -169,8 +169,37 @@ def _event_index(reader: BamReader):
 
     if reader._by_contig is None:
         reader._build_index()
+
+    # native fast path: one C pass over the columnar pools gives file-order
+    # events; reorder into each contig's start-sorted handle order
+    file_ev = None
+    if getattr(reader, "_cols", None) is not None:
+        from lancet2_tpu.hts import native
+
+        file_ev = native.event_scan(reader._cols)
+
     index: dict[int, tuple] = {}
     for rid, (starts, run_max_end, ends, handles) in reader._by_contig.items():
+        if file_ev is not None:
+            fpos, fkind, foff = file_ev
+            h = np.asarray(handles, dtype=np.int64)
+            lens = foff[h + 1] - foff[h]
+            total = int(lens.sum())
+            ev_off = np.zeros(len(starts) + 1, dtype=np.int64)
+            np.cumsum(lens, out=ev_off[1:])
+            if total:
+                gather = (
+                    np.repeat(foff[h], lens)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(ev_off[:-1], lens)
+                )
+                ev_pos_arr = fpos[gather]
+                ev_kind_arr = fkind[gather]
+            else:
+                ev_pos_arr = np.empty(0, dtype=np.int64)
+                ev_kind_arr = np.empty(0, dtype=np.int64)
+            index[rid] = (starts, run_max_end, ends, ev_pos_arr, ev_kind_arr, ev_off)
+            continue
         ev_pos: list[int] = []
         ev_kind: list[int] = []
         ev_off = np.zeros(len(starts) + 1, dtype=np.int64)
@@ -245,6 +274,13 @@ def is_active_region(readers: list[BamReader], chrom: str, start1: int, end1: in
 
 
 def has_md_tag(reader: BamReader, num_reads_to_peek: int = 1000) -> bool:
+    cols = getattr(reader, "_cols", None)
+    if cols is not None:
+        # peek the columnar records without materializing BamRecords
+        for i in range(min(num_reads_to_peek + 1, cols["count"])):
+            if "MD" in reader._record_at(i).tags:
+                return True
+        return False
     for i, rec in enumerate(reader.all_records()):
         if i > num_reads_to_peek:
             break

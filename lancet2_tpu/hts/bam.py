@@ -150,6 +150,53 @@ def _parse_aux(buf: bytes) -> dict[str, object]:
     return tags
 
 
+class LazyTags:
+    """Mapping view over raw aux bytes: the dict parse (_parse_aux) runs on
+    first access only. Most consumers (read collection, assembly) never touch
+    tags, so the columnar record path skips the per-record parse entirely."""
+
+    __slots__ = ("_raw", "_dict")
+
+    def __init__(self, raw: bytes):
+        self._raw = raw
+        self._dict: dict[str, object] | None = None
+
+    def _materialize(self) -> dict[str, object]:
+        if self._dict is None:
+            self._dict = _parse_aux(self._raw)
+            self._raw = b""
+        return self._dict
+
+    def get(self, key, default=None):
+        return self._materialize().get(key, default)
+
+    def __getitem__(self, key):
+        return self._materialize()[key]
+
+    def __contains__(self, key) -> bool:
+        return key in self._materialize()
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __len__(self) -> int:
+        return len(self._materialize())
+
+    def keys(self):
+        return self._materialize().keys()
+
+    def items(self):
+        return self._materialize().items()
+
+    def __eq__(self, other):
+        if isinstance(other, LazyTags):
+            other = other._materialize()
+        return self._materialize() == other
+
+    def __repr__(self) -> str:
+        return f"LazyTags({self._materialize()!r})"
+
+
 def _encode_aux(tags: dict[str, object]) -> bytes:
     out = bytearray()
     for tag, val in tags.items():
@@ -342,7 +389,7 @@ class BamReader:
         seq = cols["seq_pool"][so : so + ls].tobytes().decode("ascii")
         qual = cols["qual_pool"][so : so + ls].copy()
         ao, al = int(cols["aux_off"][i]), int(cols["aux_len"][i])
-        tags = _parse_aux(cols["aux_pool"][ao : ao + al].tobytes())
+        tags = LazyTags(cols["aux_pool"][ao : ao + al].tobytes())
         rec = BamRecord(
             qname, int(cols["flag"][i]), int(cols["ref_id"][i]), int(cols["pos"][i]),
             int(cols["mapq"][i]), cigar, int(cols["next_ref_id"][i]),

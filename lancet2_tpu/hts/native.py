@@ -47,6 +47,7 @@ def _ensure_lib():
         lib.l2t_bam_count.restype = ctypes.c_int64
         lib.l2t_bam_count.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t]
         lib.l2t_bam_parse.restype = ctypes.c_int64
+        lib.l2t_event_scan.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _load_failed = True
@@ -118,3 +119,32 @@ def parse_records(buf: bytes, off: int) -> dict | None:
     cols.update(pools)
     cols["count"] = n
     return cols
+
+
+def event_scan(cols: dict) -> tuple | None:
+    """Active-region mutation events for every record of a columnar parse,
+    in file order: (ev_pos int64[T], ev_kind int64[T], ev_off int64[n+1]).
+    Single C pass over the cigar/aux/qual pools — replaces the per-record
+    Python MD state machine (core/active_region.py::_record_events)."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    n = int(cols["count"])
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    ev_off = np.zeros(n + 1, dtype=np.int64)
+    cap = max(8 * n, 64)
+    for _ in range(2):
+        ev_pos = np.zeros(cap, dtype=np.int64)
+        ev_kind = np.zeros(cap, dtype=np.uint8)
+        total = int(lib.l2t_event_scan(
+            ctypes.c_int64(n),
+            c(cols["pos"]), c(cols["flag"]), c(cols["mapq"]),
+            c(cols["n_cigar"]), c(cols["cigar_off"]), c(cols["cigar_pool"]),
+            c(cols["l_seq"]), c(cols["seq_off"]), c(cols["qual_pool"]),
+            c(cols["aux_off"]), c(cols["aux_len"]), c(cols["aux_pool"]),
+            ctypes.c_int64(cap), c(ev_pos), c(ev_kind), c(ev_off),
+        ))
+        if total <= cap:
+            return ev_pos[:total], ev_kind[:total].astype(np.int64), ev_off
+        cap = total
+    return None

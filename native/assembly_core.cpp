@@ -1074,4 +1074,125 @@ int64_t l2t_align_batch(
   return 0;
 }
 
+// Tandem-repeat scan: exact (kind 0) then approx (kind 1) hits over an
+// ASCII sequence, matching base/sequence_complexity.py::find_exact_repeats /
+// find_approx_repeats exactly (reference: base/tandem_repeat.*). Returns the
+// hit count (<= cap; the Python twins emit far fewer than cap=64 on the
+// ~100 bp flank windows the scorer passes).
+static bool primitive_motif(const uint8_t* m, int n) {
+  for (int period = 1; period < n; ++period) {
+    if (n % period) continue;
+    bool rep = true;
+    for (int i = period; i < n; ++i) {
+      if (m[i] != m[i % period]) { rep = false; break; }
+    }
+    if (rep) return false;
+  }
+  return true;
+}
+
+int64_t l2t_tandem_repeats(const uint8_t* seq, int64_t n, int32_t max_period,
+                           int64_t cap, int32_t* out_period, int32_t* out_start,
+                           int32_t* out_span, int32_t* out_errors,
+                           uint8_t* out_exact) {
+  int64_t cnt = 0;
+  auto emit = [&](int32_t period, int32_t start, int32_t span, int32_t errors,
+                  uint8_t exact) {
+    if (cnt < cap) {
+      out_period[cnt] = period;
+      out_start[cnt] = start;
+      out_span[cnt] = span;
+      out_errors[cnt] = errors;
+      out_exact[cnt] = exact;
+    }
+    ++cnt;
+  };
+  // ---- exact pass (min_copies 2.5) -----------------------------------
+  const int maxp = static_cast<int>(max_period < n ? max_period : n);
+  for (int period = 1; period <= maxp; ++period) {
+    int64_t start = 0;
+    while (start <= n - period) {
+      const uint8_t* motif = seq + start;
+      if (period > 1 && !primitive_motif(motif, period)) { ++start; continue; }
+      int64_t match_len = period;
+      while (start + match_len + period <= n &&
+             std::memcmp(seq + start + match_len, motif, period) == 0)
+        match_len += period;
+      int64_t partial = 0;
+      while (start + match_len + partial < n && partial < period &&
+             seq[start + match_len + partial] == motif[partial])
+        ++partial;
+      // copies >= 2.5  <=>  2*(match_len+partial) >= 5*period
+      if (2 * (match_len + partial) >= 5 * period) {
+        emit(period, static_cast<int32_t>(start),
+             static_cast<int32_t>(match_len + partial), 0, 1);
+        start += match_len - 1;
+      }
+      ++start;
+    }
+  }
+  // ---- approx pass (min_copies 3.0, <=1 edit/unit, purity >= 0.75) ----
+  for (int period = 1; period <= maxp; ++period) {
+    int64_t start = 0;
+    while (start <= n - period) {
+      const uint8_t* motif = seq + start;
+      if (period > 1 && !primitive_motif(motif, period)) { ++start; continue; }
+      int64_t total_span = period;
+      int64_t total_errors = 0;
+      while (start + total_span + period <= n) {
+        const uint8_t* unit = seq + start + total_span;
+        int errs = 0;
+        for (int i = 0; i < period; ++i) errs += unit[i] != motif[i];
+        if (errs > 1) break;
+        total_errors += errs;
+        total_span += period;
+      }
+      // copies >= 3 and purity = 1 - errors/span >= 0.75
+      if (total_span >= 3 * period && 4 * total_errors <= total_span) {
+        emit(period, static_cast<int32_t>(start),
+             static_cast<int32_t>(total_span),
+             static_cast<int32_t>(total_errors), 0);
+        start += total_span - 1;
+      }
+      ++start;
+    }
+  }
+  return cnt;
+}
+
+// Approximate-repeat gate: true when any distinct-position pair of k-mers
+// differs by <= max_mismatch bases. 2-bit packs (N clamped to 0, exactly as
+// base/repeat.py::pack_2bit) + XOR popcount with early exit — the
+// reference's SIMD Hamming scan (src/lancet/base/repeat.cpp, 9.4% CPU).
+int32_t l2t_has_approx_repeat(const uint8_t* codes, int64_t n, int32_t k,
+                              int32_t max_mismatch) {
+  const int64_t num = n - k + 1;
+  if (num < 2) return 0;
+  const int words = static_cast<int>((k + 31) / 32);
+  std::vector<uint64_t> packed(static_cast<size_t>(num) * words, 0);
+  for (int64_t i = 0; i < num; ++i) {
+    uint64_t* row = packed.data() + i * words;
+    for (int j = 0; j < k; ++j) {
+      uint64_t c = codes[i + j];
+      if (c > 3) c = 0;
+      row[j >> 5] |= c << ((j & 31) * 2);
+    }
+  }
+  constexpr uint64_t kPairMask = 0x5555555555555555ull;
+  for (int64_t i = 0; i < num; ++i) {
+    const uint64_t* a = packed.data() + i * words;
+    for (int64_t j = i + 1; j < num; ++j) {
+      const uint64_t* b = packed.data() + j * words;
+      int dist = 0;
+      for (int w = 0; w < words; ++w) {
+        const uint64_t x = a[w] ^ b[w];
+        dist += __builtin_popcountll((x | (x >> 1)) & kPairMask);
+        if (dist > max_mismatch) break;
+      }
+      if (dist <= max_mismatch) return 1;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -227,4 +227,135 @@ int64_t l2t_bam_parse(const uint8_t* data, size_t size, size_t off, int64_t n,
   return idx;
 }
 
+// Active-region mutation-event scan over the columnar arrays: for every
+// record emit (genome_pos, kind) events — kind 0=mismatch (MD + X CIGAR),
+// 1=insertion, 2=deletion, 3=softclip — matching
+// lancet2_tpu/core/active_region.py::_record_events exactly (reference:
+// src/lancet/core/active_region_detector.cpp). Records failing
+// QC/dup/unmapped/MAPQ==0 emit nothing. ev_off[i]..ev_off[i+1] spans record
+// i's events in file order. Returns the TOTAL event count (which may exceed
+// `cap`; events beyond cap are counted but not written — caller reallocates
+// and calls again).
+int64_t l2t_event_scan(int64_t n, const int32_t* pos, const uint16_t* flag,
+                       const uint8_t* mapq, const uint16_t* n_cigar,
+                       const int64_t* cigar_off, const uint32_t* cigar_pool,
+                       const int32_t* l_seq, const int64_t* seq_off,
+                       const uint8_t* qual_pool, const int64_t* aux_off,
+                       const int32_t* aux_len, const uint8_t* aux_pool,
+                       int64_t cap, int64_t* ev_pos, uint8_t* ev_kind,
+                       int64_t* ev_off) {
+  constexpr uint16_t kSkipFlags = 0x200 | 0x400 | 0x4;  // qcfail|dup|unmapped
+  constexpr uint8_t kMinBaseQual = 20;
+  int64_t total = 0;
+  ev_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if ((flag[i] & kSkipFlags) != 0 || mapq[i] == 0) {
+      ev_off[i + 1] = total;
+      continue;
+    }
+    const int64_t start0 = pos[i];
+    const int32_t ls = l_seq[i];
+    const uint8_t* quals = qual_pool + seq_off[i];
+    auto emit = [&](int64_t p, uint8_t kind) {
+      if (total < cap) {
+        ev_pos[total] = p;
+        ev_kind[total] = kind;
+      }
+      ++total;
+    };
+    // ---- MD:Z tag mismatches -----------------------------------------
+    const uint8_t* aux = aux_pool + aux_off[i];
+    const uint8_t* aux_end = aux + aux_len[i];
+    const uint8_t* md = nullptr;
+    const uint8_t* cur = aux;
+    while (cur + 3 <= aux_end) {
+      const uint8_t t0 = cur[0], t1 = cur[1], typ = cur[2];
+      const uint8_t* val = cur + 3;
+      size_t vlen = 0;
+      switch (typ) {
+        case 'A': case 'c': case 'C': vlen = 1; break;
+        case 's': case 'S': vlen = 2; break;
+        case 'i': case 'I': case 'f': vlen = 4; break;
+        case 'Z': case 'H': {
+          const uint8_t* z = val;
+          while (z < aux_end && *z != 0) ++z;
+          vlen = static_cast<size_t>(z - val) + 1;
+          break;
+        }
+        case 'B': {
+          if (val + 5 > aux_end) { cur = aux_end; continue; }
+          uint8_t sub = val[0];
+          uint32_t count;
+          std::memcpy(&count, val + 1, 4);
+          size_t esz = (sub == 'c' || sub == 'C') ? 1
+                       : (sub == 's' || sub == 'S') ? 2 : 4;
+          vlen = 5 + static_cast<size_t>(count) * esz;
+          break;
+        }
+        default: cur = aux_end; continue;  // unknown type: stop
+      }
+      if (t0 == 'M' && t1 == 'D' && typ == 'Z') {
+        md = val;
+        break;
+      }
+      cur = val + vlen;
+    }
+    if (md != nullptr) {
+      int64_t genome_pos = start0;
+      int64_t token = 0;
+      bool have_token = false;
+      const uint8_t* z = md;
+      while (*z != 0 && z < aux_end) {
+        const uint8_t ch = *z;
+        if (ch >= '0' && ch <= '9') {
+          token = token * 10 + (ch - '0');
+          have_token = true;
+          ++z;
+          continue;
+        }
+        if (have_token) genome_pos += token;
+        token = 0;
+        have_token = false;
+        if (ch == '^') {
+          ++z;
+          while (*z != 0 && z < aux_end &&
+                 ((*z >= 'A' && *z <= 'Z') || (*z >= 'a' && *z <= 'z'))) {
+            ++z;
+            ++genome_pos;
+          }
+          continue;
+        }
+        const int64_t base_pos = genome_pos - start0;
+        if (base_pos >= 0 && base_pos < ls && quals[base_pos] >= kMinBaseQual) {
+          const uint8_t up = (ch >= 'a') ? ch - 32 : ch;
+          if (up == 'A' || up == 'C' || up == 'G' || up == 'T')
+            emit(genome_pos, 0);
+        }
+        ++genome_pos;
+        ++z;
+      }
+    }
+    // ---- CIGAR I/D/X events ------------------------------------------
+    const uint32_t* cig = cigar_pool + cigar_off[i];
+    const int nc = n_cigar[i];
+    int64_t gpos = start0;
+    for (int c = 0; c < nc; ++c) {
+      const uint32_t op = cig[c] & 0xF;
+      const uint32_t len = cig[c] >> 4;
+      // ref-consuming: M(0) D(2) N(3) =(7) X(8)
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) gpos += len;
+      if (op == 1) emit(gpos, 1);
+      else if (op == 2) emit(gpos, 2);
+      else if (op == 8) emit(gpos, 0);
+    }
+    // ---- soft-clip ends ----------------------------------------------
+    if (nc > 0) {
+      if ((cig[0] & 0xF) == 4) emit(start0, 3);
+      if (nc > 1 && (cig[nc - 1] & 0xF) == 4) emit(gpos, 3);
+    }
+    ev_off[i + 1] = total;
+  }
+  return total;
+}
+
 }  // extern "C"

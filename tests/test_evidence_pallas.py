@@ -171,6 +171,9 @@ def test_pipelined_genotyper_device_path(monkeypatch):
         lt = int(rng.integers(lq, 40))
         q = rng.integers(0, 4, lq).astype(np.uint8)
         t = rng.integers(0, 4, lt).astype(np.uint8)
+        if i % 2 == 0:  # half the pairs pass the mapability gate: embed the
+            off = int(rng.integers(0, lt - lq + 1))  # query in the target
+            t[off : off + lq] = q
         regions = np.zeros((R_MAX, 2), np.int32)
         for r in range(int(rng.integers(1, 3))):  # <=2 active slots
             s = int(rng.integers(0, lt - 1))
@@ -186,7 +189,40 @@ def test_pipelined_genotyper_device_path(monkeypatch):
     ref = g.run_evidence_pairs(pair_q, pair_qu, pair_t, pair_meta)
     monkeypatch.setattr(gmod, "_on_device", lambda: True)
     got = g.run_evidence_pairs(pair_q, pair_qu, pair_t, pair_meta)
-    _assert_equal(ref, got, "pipelined")
+
+    # the device path is a two-pass dispatch: region accumulators are only
+    # computed for pairs that pass the mapability gate AND overlap a variant
+    # region — the ONLY pairs whose region outputs assemble_evidence ever
+    # reads (caller/genotyper.py:458-475). Scalar outputs must match on every
+    # pair; region outputs on the consumed subset.
+    def _assert_effective_equal(ref, got, tag):
+        n_pairs = len(pair_q)
+        scalar = ["score", "t_end", "t_start", "nm"]
+        for k in scalar:
+            assert np.array_equal(ref[k], got[k]), f"{tag}: {k} mismatch"
+        consumed = []
+        for i in range(n_pairs):
+            min_score = len(pair_q[i]) * g.min_score_frac
+            gate = (ref["score"][i] >= min_score
+                    and ref["t_end"][i] > ref["t_start"][i])
+            reg = pair_meta[i][2]
+            ovl = bool(((reg[:, 1] > ref["t_start"][i])
+                        & (reg[:, 0] < ref["t_end"][i])
+                        & (reg[:, 1] > reg[:, 0])).any())
+            if gate and ovl:
+                consumed.append(i)
+        assert consumed, "fixture must exercise consumed pairs"
+        for k in KEYS:
+            if k in scalar:
+                continue
+            a, b = np.asarray(ref[k])[consumed], np.asarray(got[k])[consumed]
+            assert np.array_equal(a, b), f"{tag}: {k} mismatch on consumed pairs"
+
+    _assert_effective_equal(ref, got, "pipelined")
+
+    # the full record-level identity of the two dispatch modes (every VCF
+    # byte) is pinned by tests/test_two_pass_evidence.py and the executor
+    # identity suite on realistic fixtures.
 
     # multi-chip: chunks round-robined over the 8 virtual CPU devices must
     # be record-identical to the single-device path
@@ -195,4 +231,4 @@ def test_pipelined_genotyper_device_path(monkeypatch):
     g_multi = gmod.Genotyper(backend="evidence", devices=list(jax.devices()))
     assert len(g_multi.devices) >= 2
     got_multi = g_multi.run_evidence_pairs(pair_q, pair_qu, pair_t, pair_meta)
-    _assert_equal(ref, got_multi, "multi-device")
+    _assert_effective_equal(ref, got_multi, "multi-device")

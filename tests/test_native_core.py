@@ -123,3 +123,79 @@ class TestKmerPassParity:
 
     def test_simulator_windows_identical(self, tmp_path):
         self._compare_graphs(tmp_path, seed=33)
+
+
+class TestNativeRepeatScans:
+    """Parity of the native repeat/complexity kernels vs their Python twins
+    (native/assembly_core.cpp::l2t_tandem_repeats / l2t_has_approx_repeat,
+    native/bam_decoder.cpp::l2t_event_scan)."""
+
+    def test_tandem_repeats_parity(self):
+        import random
+
+        from lancet2_tpu.base import native_core as nc
+        from lancet2_tpu.base.sequence_complexity import (
+            find_approx_repeats,
+            find_exact_repeats,
+            tandem_repeat_hits,
+        )
+
+        assert nc.available()
+        rng = random.Random(7)
+        for trial in range(150):
+            n = rng.randint(1, 140)
+            s = "".join(rng.choice("ACGT") for _ in range(n))
+            if trial % 3 == 0 and n > 20:
+                m = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 6)))
+                ins = (m * 8)[: rng.randint(6, 30)]
+                p = rng.randint(0, n - 1)
+                s = s[:p] + ins + s[p:]
+            py = find_exact_repeats(s) + find_approx_repeats(s)
+            nat = tandem_repeat_hits(s)
+            key = lambda r: (r.period, r.start_pos, r.span_length,
+                             r.total_errors, r.is_exact, round(r.copies, 12))
+            assert [key(r) for r in py] == [key(r) for r in nat], s
+
+    def test_has_approx_repeat_parity(self):
+        import numpy as np
+
+        import lancet2_tpu.base.native_core as nc
+        from lancet2_tpu.base import repeat as rp
+
+        assert nc.available()
+        rng = np.random.default_rng(11)
+        for _ in range(80):
+            n = int(rng.integers(5, 260))
+            codes = rng.integers(0, 5, n).astype(np.uint8)
+            k = int(rng.choice([3, 5, 11, 13, 33, 65]))
+            if k >= n:
+                k = max(2, n - 1)
+            mm = int(rng.integers(1, 4))
+            nat = nc.has_approx_repeat_native(codes, k, mm)
+            orig = nc.has_approx_repeat_native
+            nc.has_approx_repeat_native = lambda *a, **kw: None
+            try:
+                py = rp.has_approx_repeat(codes, k, mm)
+            finally:
+                nc.has_approx_repeat_native = orig
+            assert nat == py
+
+    def test_event_scan_parity(self, tmp_path):
+        import numpy as np
+
+        from lancet2_tpu.core import active_region as ar
+        from lancet2_tpu.hts import native
+        from lancet2_tpu.hts.bam import BamReader
+        from lancet2_tpu.utils.simulate import make_tumor_normal_fixture
+
+        fx = make_tumor_normal_fixture(str(tmp_path), ref_len=8000, seed=5)
+        for path in (fx["normal"], fx["tumor"]):
+            r = BamReader(path)
+            assert r._cols is not None
+            ev_pos, ev_kind, ev_off = native.event_scan(r._cols)
+            for i in range(r._cols["count"]):
+                rec = r._record_at(i)
+                py = ar._record_events(rec)
+                a, b = int(ev_off[i]), int(ev_off[i + 1])
+                nat = list(zip(ev_pos[a:b].tolist(), ev_kind[a:b].tolist()))
+                assert nat == py, (path, i)
