@@ -104,6 +104,11 @@ def _ensure_lib():
         lib.l2t_has_approx_repeat.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.l2t_longdust_counts.restype = ctypes.c_int64
+        lib.l2t_longdust_counts.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            _i32p, ctypes.c_int64, _i64p,
+        ]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -390,3 +395,24 @@ def has_approx_repeat_native(codes, k: int, max_mismatch: int = 2):
         return None
     codes = np.ascontiguousarray(codes, np.uint8)
     return bool(lib.l2t_has_approx_repeat(codes, codes.size, k, max_mismatch))
+
+
+def longdust_counts(seq: str, k: int, rc: bool = False):
+    """Rolling k-mer multi-counts of one strand (ascending k-mer order) +
+    total k-mer count, for the longdust scorer; None when unavailable."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    cap = 256
+    while True:
+        multi = np.empty(cap, np.int32)
+        n_multi = np.zeros(1, np.int64)
+        ell = int(lib.l2t_longdust_counts(
+            np.ascontiguousarray(buf), len(buf), k, int(rc),
+            multi, cap, n_multi,
+        ))
+        nm = int(n_multi[0])
+        if nm <= cap:
+            return ell, multi[:nm]
+        cap = nm

@@ -89,10 +89,34 @@ class LongdustQScorer:
             total += num * _f_single(ell * prob)
         return total
 
-    def _score_one_strand(self, seq: str) -> float:
+    def _finish(self, ell: int, multi: np.ndarray) -> float:
+        if ell == 0:
+            return 0.0
+        multi = multi.astype(np.float64)
+        if multi.size:
+            # same values/op order as np.vectorize(math.lgamma)(multi + 1.0)
+            # without the per-call vectorize setup cost
+            vals = np.fromiter(
+                (math.lgamma(m + 1.0) for m in multi), np.float64,
+                count=multi.size,
+            )
+            sum_log_fact = float(np.sum(vals))
+        else:
+            sum_log_fact = 0.0
+        f_val = self._f[ell] if ell < len(self._f) else self._compute_f(ell)
+        return max(0.0, (sum_log_fact - f_val) / ell)
+
+    def _score_one_strand(self, seq: str, rc: bool = False) -> float:
         k = self.k
         if len(seq) < k:
             return 0.0
+        from lancet2_tpu.base import native_core
+
+        nat = native_core.longdust_counts(seq, k, rc=rc)
+        if nat is not None:
+            return self._finish(nat[0], nat[1])
+        if rc:
+            seq = revcomp_str(seq)
         codes = ENCODE_TABLE[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
         # rolling 2-bit k-mer codes; N resets the window
         kmer_codes = []
@@ -110,13 +134,10 @@ class LongdustQScorer:
         if ell == 0:
             return 0.0
         _, counts = np.unique(np.asarray(kmer_codes, dtype=np.int64), return_counts=True)
-        multi = counts[counts >= 2].astype(np.float64)
-        sum_log_fact = float(np.sum(np.vectorize(math.lgamma)(multi + 1.0))) if multi.size else 0.0
-        f_val = self._f[ell] if ell < len(self._f) else self._compute_f(ell)
-        return max(0.0, (sum_log_fact - f_val) / ell)
+        return self._finish(ell, counts[counts >= 2])
 
     def score(self, seq: str) -> float:
-        return max(self._score_one_strand(seq), self._score_one_strand(revcomp_str(seq)))
+        return max(self._score_one_strand(seq), self._score_one_strand(seq, rc=True))
 
 
 # ---------------------------------------------------------------------------

@@ -353,10 +353,14 @@ class Graph:
 
         n_seqs = len(seqs)
         offsets = np.zeros(n_seqs + 1, dtype=np.int64)
-        for si, codes in enumerate(seqs):
-            offsets[si + 1] = offsets[si] + len(codes)
+        np.cumsum([len(c) for c in seqs], out=offsets[1:])
         codes_buf = np.concatenate(seqs).astype(np.uint8, copy=False)
-        quals_buf = np.zeros(offsets[-1], dtype=np.uint8)
+        quals_buf = np.concatenate([
+            q if q is not None and q.dtype == np.uint8
+            else (np.clip(q, 0, 255).astype(np.uint8) if q is not None
+                  else np.zeros(len(s), np.uint8))
+            for q, s in zip(quals, seqs)
+        ]) if n_seqs else np.zeros(0, np.uint8)
         labels = np.zeros(n_seqs, dtype=np.uint8)
         is_read = np.zeros(n_seqs, dtype=np.uint8)
         sample_idx = np.zeros(n_seqs, dtype=np.int32)
@@ -369,7 +373,6 @@ class Graph:
             if label != LABEL_REFERENCE:
                 is_read[si] = 1
                 sample_idx[si] = sidx
-                quals_buf[offsets[si] : offsets[si + 1]] = np.clip(quals[si], 0, 255)
 
         out = native_core.assemble_pass(
             codes_buf, offsets, quals_buf, labels, is_read, sample_idx, tags,

@@ -25,7 +25,7 @@ MIN_READ_MAPQ = 20
 SOFT_CLIP_FRAC_THRESHOLD = 0.06
 
 
-@dataclass
+@dataclass(slots=True)
 class Read:
     qname: str
     seq: str
@@ -67,7 +67,7 @@ class Read:
 
     @property
     def length(self) -> int:
-        return len(self.seq)
+        return len(self.codes) if self.seq is None else len(self.seq)
 
     @property
     def is_reverse(self) -> bool:
@@ -76,6 +76,60 @@ class Read:
     @property
     def is_proper_pair(self) -> bool:
         return bool(self.sam_flag & 0x2)
+
+
+def reads_from_columnar(reader, idxs: np.ndarray, qhashes: np.ndarray,
+                        sample_name: str, tag: int, sample_index: int) -> list[Read]:
+    """Batch Read construction straight from a columnar BamReader: codes and
+    quals are zero-copy pool views (consumers are read-only), soft-clip
+    totals come from the cached cigar cumsum, and the seq string is skipped
+    entirely (nothing downstream reads it). Field-for-field equal to
+    from_bam(_record_at(i)) except `seq` (None here) — parity-tested."""
+    cols = reader._cols
+    codes_pool = reader.codes_pool()
+    sc_csum = reader.softclip_csum()
+    qual_pool = cols["qual_pool"]
+    qname_pool = cols["qname_pool"]
+
+    pos = cols["pos"][idxs]
+    mapqs = cols["mapq"][idxs]
+    flags = cols["flag"][idxs]
+    tlens = cols["tlen"][idxs]
+    ref_ids = cols["ref_id"][idxs]
+    l_seq = cols["l_seq"][idxs].astype(np.int64)
+    so = cols["seq_off"][idxs]
+    qo = cols["qname_off"][idxs]
+    ql = cols["qname_len"][idxs].astype(np.int64)
+    co = cols["cigar_off"][idxs]
+    ce = co + cols["n_cigar"][idxs]
+    sc_total = sc_csum[ce] - sc_csum[co]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        clip_frac = np.where(l_seq > 0, sc_total / np.maximum(l_seq, 1), 0.0)
+    is_clipped = clip_frac >= SOFT_CLIP_FRAC_THRESHOLD
+    passes = mapqs >= MIN_READ_MAPQ
+
+    out = []
+    for j in range(len(idxs)):
+        s = int(so[j])
+        q = int(qo[j])
+        out.append(Read(
+            qname=qname_pool[q : q + int(ql[j])].tobytes().decode("ascii"),
+            seq=None,
+            qual=qual_pool[s : s + int(l_seq[j])],
+            sample_name=sample_name,
+            sample_index=sample_index,
+            tag=tag,
+            chrom_index=int(ref_ids[j]),
+            start0=int(pos[j]),
+            mapq=int(mapqs[j]),
+            sam_flag=int(flags[j]),
+            insert_size=int(tlens[j]),
+            is_soft_clipped=bool(is_clipped[j]),
+            passes_aln_filters=bool(passes[j]),
+            codes=codes_pool[s : s + int(l_seq[j])],
+            qname_hash=int(qhashes[j]),
+        ))
+    return out
 
 
 def sort_key(read: Read):

@@ -86,6 +86,25 @@ class ReadCollector:
         out: list[Read] = []
         for sinfo in self.samples:
             reader = self.readers[sinfo.path]
+
+            # columnar fast path: filters, qname hashes, downsampling, and
+            # Read construction run vectorized over the record pools — no
+            # BamRecord materialization (result-identical to the record
+            # path below, parity-tested). The filter-expression path needs
+            # materialized records, so it keeps the record path.
+            if (getattr(reader, "_cols", None) is not None
+                    and self.read_filter is None):
+                fast = self._collect_columnar(
+                    reader, sinfo, chrom, start1, end1, max_sample_bases)
+                if fast is not None:
+                    reads_s, sampled_bases, kept_idx = fast
+                    out.extend(reads_s)
+                    if self.params.extract_pairs:
+                        sampled_bases += self._recapture_mates_columnar(
+                            reader, sinfo, kept_idx, start1, end1, out)
+                    sinfo.num_sampled_bases = sampled_bases
+                    continue
+
             records = [r for r in reader.fetch(chrom, start1, end1) if _passes_profile_filters(r)]
             if self.read_filter is not None:
                 records = [r for r in records if self.read_filter(r)]
@@ -153,3 +172,87 @@ class ReadCollector:
 
         out.sort(key=sort_key)
         return out
+
+    def _collect_columnar(self, reader, sinfo, chrom, start1, end1,
+                          max_sample_bases):
+        """Vectorized passes 1+2 over the columnar pools. Returns
+        (reads, sampled_bases, kept_idx) or None when native hashing is
+        unavailable (caller falls back to the record path)."""
+        from lancet2_tpu.cbdg.read import reads_from_columnar
+        from lancet2_tpu.hts import native
+
+        cols = reader._cols
+        idxs = reader.fetch_handles(chrom, start1, end1)
+        flags = cols["flag"][idxs]
+        mapqs = cols["mapq"][idxs]
+        # not qcfail(0x200)/dup(0x400)/unmapped(0x4), MAPQ >= 20
+        keep = ((flags & (0x200 | 0x400 | 0x4)) == 0) & (mapqs >= 20)
+        idxs = idxs[keep]
+
+        num_pass = len(idxs)
+        lens = cols["l_seq"][idxs].astype(np.int64)
+        num_bases = int(lens.sum())
+        qhashes = native.hash_batch(
+            cols["qname_pool"], cols["qname_off"][idxs],
+            cols["qname_len"][idxs],
+        )
+        if qhashes is None:
+            return None
+        bases_per_read = num_bases / max(num_pass, 1)
+        max_reads = int(np.ceil(max_sample_bases / max(bases_per_read, 1e-9)))
+        sampled_count = min(num_pass, max_reads)
+        if sampled_count < num_pass:
+            order = np.random.default_rng(0).permutation(num_pass)
+            keepset = set(int(q) for q in qhashes[order][:sampled_count])
+            m = np.fromiter(
+                (int(q) in keepset for q in qhashes), bool, count=num_pass
+            )
+            idxs = idxs[m]
+            qhashes = qhashes[m]
+        sinfo.num_sampled_reads = sampled_count
+
+        reads = reads_from_columnar(
+            reader, idxs, qhashes, sinfo.sample_name, sinfo.tag,
+            sinfo.sample_index,
+        )
+        sampled_bases = int(cols["l_seq"][idxs].sum())
+        return reads, sampled_bases, idxs
+
+    def _recapture_mates_columnar(self, reader, sinfo, kept_idx, start1, end1,
+                                  out) -> int:
+        """Pass 3 for the columnar path: the pending-mate candidate set is
+        prefiltered vectorized (mate mapped, outside the scanned window);
+        only those few records materialize for the proper-pair/SA check.
+        Same visit order and capture semantics as the record path."""
+        cols = reader._cols
+        flags = cols["flag"][kept_idx]
+        next_rid = cols["next_ref_id"][kept_idx]
+        next_pos = cols["next_pos"][kept_idx]
+        rid = cols["ref_id"][kept_idx]
+        mate_mapped = (flags & 0x8) == 0
+        inside = (next_rid == rid) & (next_pos >= start1 - 1) & (next_pos < end1)
+        cand = np.flatnonzero(mate_mapped & (next_rid >= 0) & ~inside)
+
+        pending: dict[str, tuple[int, int]] = {}
+        for j in cand:
+            rec = reader._record_at(int(kept_idx[j]))
+            if rec.is_proper_pair and "SA" not in rec.tags:
+                continue
+            pending[rec.qname] = (rec.next_ref_id, rec.next_pos0)
+
+        sampled_bases = 0
+        for qname, (mrid, pos0) in sorted(
+            pending.items(), key=lambda kv: (kv[1], kv[0])
+        ):
+            if qname not in pending:
+                continue
+            mate_chrom = reader.ref_name(mrid)
+            for rec in reader.fetch(mate_chrom, pos0 + 1, pos0 + 1):
+                hit = pending.pop(rec.qname, None)
+                if hit is None:
+                    continue
+                read = Read.from_bam(rec, sinfo.sample_name, sinfo.tag,
+                                     sinfo.sample_index)
+                sampled_bases += read.length
+                out.append(read)
+        return sampled_bases

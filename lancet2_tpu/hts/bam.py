@@ -477,6 +477,51 @@ class BamReader:
         out.reverse()
         return out
 
+    def fetch_handles(self, chrom: str, start1: int, end1: int) -> np.ndarray:
+        """Columnar-record indices overlapping the region, in the same order
+        fetch() yields records — no BamRecord materialization. Only valid on
+        the columnar (native) backend."""
+        assert self._cols is not None
+        if self._by_contig is None:
+            self._build_index()
+        rid = self.ref_id(chrom)
+        entry = self._by_contig.get(rid)
+        if entry is None:
+            return np.empty(0, np.int64)
+        starts, run_max_end, ends, handles = entry
+        lo0, hi0 = start1 - 1, end1
+        hi_idx = int(np.searchsorted(starts, hi0, side="left"))
+        lo_idx = hi_idx
+        for i in range(hi_idx - 1, -1, -1):
+            if run_max_end[i] <= lo0:
+                break
+            lo_idx = i
+        sel = np.arange(lo_idx, hi_idx)
+        sel = sel[ends[lo_idx:hi_idx] > lo0]
+        return np.asarray(handles, np.int64)[sel]
+
+    def codes_pool(self) -> np.ndarray:
+        """Whole-file 0..4 base codes parallel to seq_pool (lazy, cached):
+        per-read codes become zero-copy views."""
+        pool = getattr(self, "_codes_pool", None)
+        if pool is None:
+            from lancet2_tpu.base.dna import ENCODE_TABLE
+
+            pool = ENCODE_TABLE[self._cols["seq_pool"]]
+            self._codes_pool = pool
+        return pool
+
+    def softclip_csum(self) -> np.ndarray:
+        """Cumulative soft-clipped length over the cigar pool (lazy, cached):
+        a record's total soft clip is csum[end] - csum[start]."""
+        csum = getattr(self, "_softclip_csum", None)
+        if csum is None:
+            pool = self._cols["cigar_pool"]
+            sc = np.where((pool & 0xF) == 4, pool >> 4, 0).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(sc)])
+            self._softclip_csum = csum
+        return csum
+
 
 class BamWriter:
     """Compose a coordinate-sorted BAM file (used by tests and the simulator)."""

@@ -48,6 +48,7 @@ def _ensure_lib():
         lib.l2t_bam_count.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t]
         lib.l2t_bam_parse.restype = ctypes.c_int64
         lib.l2t_event_scan.restype = ctypes.c_int64
+        lib.l2t_hash_batch.restype = None
         _lib = lib
     except Exception:
         _load_failed = True
@@ -119,6 +120,21 @@ def parse_records(buf: bytes, off: int) -> dict | None:
     cols.update(pools)
     cols["count"] = n
     return cols
+
+
+def hash_batch(pool: np.ndarray, offs: np.ndarray, lens: np.ndarray) -> np.ndarray | None:
+    """FNV-1a-64 + avalanche of n pool slices (bit-identical to
+    base.hashing.hash_str64); None when native is unavailable."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out = np.empty(len(offs), np.uint64)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.l2t_hash_batch(c(pool), c(offs), c(lens),
+                       ctypes.c_int64(len(offs)), c(out))
+    return out
 
 
 def event_scan(cols: dict) -> tuple | None:

@@ -74,6 +74,98 @@ struct PairHash {
   size_t operator()(const PairKey& k) const { return mix64(k.s ^ mix64(k.d)); }
 };
 
+// Open-addressing flat tables for the k-mer pass hot loops: the
+// std::unordered_* equivalents spend most of their time in per-node heap
+// allocations. Power-of-two capacity, linear probing; keys are avalanche-
+// mixed 64-bit hashes already, remixed once per probe start.
+struct FlatIdMap {
+  std::vector<uint64_t> keys;
+  std::vector<int64_t> vals;
+  std::vector<uint8_t> used;
+  size_t mask = 0;
+  void init(size_t n) {
+    size_t cap = 16;
+    while (cap < n * 2) cap <<= 1;
+    keys.assign(cap, 0);
+    vals.assign(cap, 0);
+    used.assign(cap, 0);
+    mask = cap - 1;
+  }
+  int64_t* find_or_insert(uint64_t id, bool* inserted) {
+    size_t h = (size_t)mix64(id) & mask;
+    while (used[h]) {
+      if (keys[h] == id) { *inserted = false; return &vals[h]; }
+      h = (h + 1) & mask;
+    }
+    used[h] = 1;
+    keys[h] = id;
+    *inserted = true;
+    return &vals[h];
+  }
+  int64_t find(uint64_t id) const {
+    size_t h = (size_t)mix64(id) & mask;
+    while (used[h]) {
+      if (keys[h] == id) return vals[h];
+      h = (h + 1) & mask;
+    }
+    return -1;
+  }
+};
+
+struct FlatTripleSet {
+  std::vector<uint64_t> q, i;
+  std::vector<uint8_t> t, used;
+  size_t mask = 0;
+  void init(size_t n) {
+    size_t cap = 16;
+    while (cap < n * 2) cap <<= 1;
+    q.assign(cap, 0);
+    i.assign(cap, 0);
+    t.assign(cap, 0);
+    used.assign(cap, 0);
+    mask = cap - 1;
+  }
+  bool insert(uint64_t qq, uint64_t ii, uint8_t tt) {
+    size_t h = (size_t)mix64(
+                   qq ^ mix64(ii) ^ (uint64_t)tt * 0x9E3779B97F4A7C15ull) &
+               mask;
+    while (used[h]) {
+      if (q[h] == qq && i[h] == ii && t[h] == tt) return false;
+      h = (h + 1) & mask;
+    }
+    used[h] = 1;
+    q[h] = qq;
+    i[h] = ii;
+    t[h] = tt;
+    return true;
+  }
+};
+
+struct FlatPairSet {
+  std::vector<uint64_t> s, d;
+  std::vector<uint8_t> used;
+  size_t mask = 0;
+  void init(size_t n) {
+    size_t cap = 16;
+    while (cap < n * 2) cap <<= 1;
+    s.assign(cap, 0);
+    d.assign(cap, 0);
+    used.assign(cap, 0);
+    mask = cap - 1;
+  }
+  bool insert(uint64_t ss, uint64_t dd) {
+    size_t h = (size_t)mix64(ss ^ mix64(dd)) & mask;
+    while (used[h]) {
+      if (s[h] == ss && d[h] == dd) return false;
+      h = (h + 1) & mask;
+    }
+    used[h] = 1;
+    s[h] = ss;
+    d[h] = dd;
+    return true;
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -118,12 +210,12 @@ int64_t l2t_kmer_pass(
     if (len >= k) n_occ += len - k + 1;
   }
 
-  std::unordered_map<uint64_t, int64_t> uid_of;  // id -> unique index
-  uid_of.reserve((size_t)n_occ * 2);
-  std::unordered_set<TripleKey, TripleHash> seen_triples;
-  seen_triples.reserve((size_t)n_occ * 2);
-  std::unordered_set<PairKey, PairHash> seen_pairs;
-  seen_pairs.reserve((size_t)n_occ * 2);
+  FlatIdMap uid_of;  // id -> unique index
+  uid_of.init((size_t)n_occ);
+  FlatTripleSet seen_triples;
+  seen_triples.init((size_t)n_occ);
+  FlatPairSet seen_pairs;
+  seen_pairs.init((size_t)n_occ);
   std::vector<PairKey> pairs;
   pairs.reserve(1024);
 
@@ -170,11 +262,12 @@ int64_t l2t_kmer_pass(
       uint64_t id = hash_kmer(canon, k);
       occ_ids[occ] = id;
 
-      auto it = uid_of.find(id);
+      bool inserted;
+      int64_t* slot = uid_of.find_or_insert(id, &inserted);
       int64_t ui;
-      if (it == uid_of.end()) {
+      if (inserted) {
         ui = n_uniq++;
-        uid_of.emplace(id, ui);
+        *slot = ui;
         u_first[ui] = occ;
         u_sign[ui] = sign;
         u_label[ui] = labels[si];
@@ -182,15 +275,14 @@ int64_t l2t_kmer_pass(
         u_role[ui * 2] = 0;
         u_role[ui * 2 + 1] = 0;
       } else {
-        ui = it->second;
+        ui = *slot;
       }
 
       if (read) {
         // expected-error filter: floor(sum of error probs in window) <= 0
         double window_err = prefix[p + k] - prefix[p];
         if (std::floor(window_err) <= 0.0) {
-          TripleKey tk{qhash[si], id, tags[si]};
-          if (seen_triples.insert(tk).second) {
+          if (seen_triples.insert(qhash[si], id, tags[si])) {
             u_counts[ui * num_samples + sample_idx[si]] += 1;
             u_role[ui * 2 + (tags[si] == label_case ? 1 : 0)] += 1;
           }
@@ -198,8 +290,7 @@ int64_t l2t_kmer_pass(
       }
 
       if (p > 0) {
-        PairKey pk{prev_id, id};
-        if (seen_pairs.insert(pk).second) pairs.push_back(pk);
+        if (seen_pairs.insert(prev_id, id)) pairs.push_back(PairKey{prev_id, id});
       }
       prev_id = id;
     }
@@ -715,21 +806,21 @@ extern "C" int64_t l2t_assemble_pass(
 
   struct UNode {
     uint64_t nid;
-    int64_t first_occ;   // (si, pos) packed: si * big + pos? keep separate
     int32_t first_si;
     int32_t first_pos;
     uint8_t sign, label;
-    std::vector<int64_t> counts;
     int64_t roles[2] = {0, 0};
   };
   std::vector<UNode> uniq;
   uniq.reserve(1 << 14);
-  std::unordered_map<uint64_t, int64_t> uid_of;
-  uid_of.reserve((size_t)n_occ * 2);
-  std::unordered_set<TripleKey, TripleHash> seen_triples;
-  seen_triples.reserve((size_t)n_occ * 2);
-  std::unordered_set<PairKey, PairHash> seen_pairs;
-  seen_pairs.reserve((size_t)n_occ * 2);
+  std::vector<int64_t> counts_flat;  // [n_uniq * num_samples]
+  counts_flat.reserve((size_t)(1 << 14) * num_samples);
+  FlatIdMap uid_of;
+  uid_of.init((size_t)n_occ);
+  FlatTripleSet seen_triples;
+  seen_triples.init((size_t)n_occ);
+  FlatPairSet seen_pairs;
+  seen_pairs.init((size_t)n_occ);
   std::vector<PairKey> pairs;
   pairs.reserve(4096);
   std::vector<uint64_t> ref_node_ids;  // ref path in kmer order
@@ -773,11 +864,12 @@ extern "C" int64_t l2t_assemble_pass(
       uint64_t id = hash_kmer(canon, k);
       if (is_ref_seq) ref_node_ids.push_back(id);
 
-      auto it = uid_of.find(id);
+      bool inserted;
+      int64_t* slot = uid_of.find_or_insert(id, &inserted);
       int64_t ui;
-      if (it == uid_of.end()) {
+      if (inserted) {
         ui = (int64_t)uniq.size();
-        uid_of.emplace(id, ui);
+        *slot = ui;
         uniq.push_back(UNode());
         UNode& u = uniq.back();
         u.nid = id;
@@ -785,24 +877,22 @@ extern "C" int64_t l2t_assemble_pass(
         u.first_pos = (int32_t)p;
         u.sign = sign;
         u.label = labels[si];
-        u.counts.assign(num_samples, 0);
+        counts_flat.resize(counts_flat.size() + num_samples, 0);
       } else {
-        ui = it->second;
+        ui = *slot;
       }
 
       if (read) {
         double window_err = prefix[p + k] - prefix[p];
         if (std::floor(window_err) <= 0.0) {
-          TripleKey tk{qhash[si], id, tags[si]};
-          if (seen_triples.insert(tk).second) {
-            uniq[ui].counts[sample_idx[si]] += 1;
+          if (seen_triples.insert(qhash[si], id, tags[si])) {
+            counts_flat[ui * num_samples + sample_idx[si]] += 1;
             uniq[ui].roles[tags[si] == label_case ? 1 : 0] += 1;
           }
         }
       }
       if (p > 0) {
-        PairKey pk{prev_id, id};
-        if (seen_pairs.insert(pk).second) pairs.push_back(pk);
+        if (seen_pairs.insert(prev_id, id)) pairs.push_back(PairKey{prev_id, id});
       }
       prev_id = id;
     }
@@ -819,12 +909,13 @@ extern "C" int64_t l2t_assemble_pass(
   ctx.nodes.reserve(uniq.size() / 4);
   for (size_t ui = 0; ui < uniq.size(); ++ui) {
     const UNode& u = uniq[ui];
+    const int64_t* uc = counts_flat.data() + ui * num_samples;
     int64_t total = 0;
     bool any_pos = false, all_le1 = true;
     for (int64_t s = 0; s < num_samples; ++s) {
-      total += u.counts[s];
-      if (u.counts[s] > 0) any_pos = true;
-      if (u.counts[s] > 1) all_le1 = false;
+      total += uc[s];
+      if (uc[s] > 0) any_pos = true;
+      if (uc[s] > 1) all_le1 = false;
     }
     bool all_singleton = any_pos && all_le1;
     if (all_singleton || total < min_node_cov) continue;
@@ -842,7 +933,7 @@ extern "C" int64_t l2t_assemble_pass(
     }
     n.sign = u.sign;
     n.label = u.label;
-    n.counts = u.counts;
+    n.counts.assign(uc, uc + num_samples);
     n.roles[0] = u.roles[0];
     n.roles[1] = u.roles[1];
     ctx.idx.emplace(n.nid, (int32_t)surv_slot[ui]);
@@ -1158,6 +1249,56 @@ int64_t l2t_tandem_repeats(const uint8_t* seq, int64_t n, int32_t max_period,
     }
   }
   return cnt;
+}
+
+// Longdust raw accumulators for one strand: rolling 2-bit k-mers (N resets
+// the window) counted into a dense 4^k table. Emits the counts of
+// multi-occurring (>=2) k-mers in ascending k-mer-code order — the order
+// np.unique yields in base/sequence_complexity.py::_score_one_strand (the
+// lgamma sum stays in Python: CPython's math.lgamma is not libm's). rc != 0
+// scans the reverse complement without materializing it. Returns ell (k-mer
+// count); *out_n_multi gets the emitted count (<= cap; excess counted, not
+// written).
+int64_t l2t_longdust_counts(const uint8_t* seq_ascii, int64_t n, int32_t k,
+                            int32_t rc, int32_t* out_multi, int64_t cap,
+                            int64_t* out_n_multi) {
+  int64_t num_kmers = (int64_t)1 << (2 * k);
+  int64_t mask = num_kmers - 1;
+  std::vector<int32_t> counts((size_t)num_kmers, 0);
+  int64_t ell = 0;
+  uint64_t kmer = 0;
+  int64_t run = 0;
+  for (int64_t idx = 0; idx < n; ++idx) {
+    uint8_t ch = rc ? seq_ascii[n - 1 - idx] : seq_ascii[idx];
+    int code;
+    switch (ch) {
+      case 'A': case 'a': code = 0; break;
+      case 'C': case 'c': code = 1; break;
+      case 'G': case 'g': code = 2; break;
+      case 'T': case 't': code = 3; break;
+      default: code = 4;
+    }
+    if (rc && code < 4) code = 3 - code;
+    if (code < 4) {
+      kmer = ((kmer << 2) | (uint64_t)code) & (uint64_t)mask;
+      ++run;
+      if (run >= k) {
+        ++counts[kmer];
+        ++ell;
+      }
+    } else {
+      run = 0;
+    }
+  }
+  int64_t nm = 0;
+  for (int64_t c = 0; c < num_kmers; ++c) {
+    if (counts[c] >= 2) {
+      if (nm < cap) out_multi[nm] = counts[c];
+      ++nm;
+    }
+  }
+  *out_n_multi = nm;
+  return ell;
 }
 
 // Approximate-repeat gate: true when any distinct-position pair of k-mers

@@ -227,6 +227,26 @@ int64_t l2t_bam_parse(const uint8_t* data, size_t size, size_t off, int64_t n,
   return idx;
 }
 
+// Batch FNV-1a-64 + splitmix64 avalanche over pool slices — bit-identical
+// to lancet2_tpu/base/hashing.py::hash_str64 (used for read-qname identity:
+// MateMer dedup + deterministic downsampling).
+void l2t_hash_batch(const uint8_t* pool, const int64_t* offs,
+                    const int64_t* lens, int64_t n, uint64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = pool + offs[i];
+    const int64_t len = lens[i];
+    uint64_t h = 0xCBF29CE484222325ull;
+    for (int64_t j = 0; j < len; ++j)
+      h = (h ^ p[j]) * 0x100000001B3ull;
+    h ^= h >> 30;
+    h *= 0xBF58476D1CE4E5B9ull;
+    h ^= h >> 27;
+    h *= 0x94D049BB133111EBull;
+    h ^= h >> 31;
+    out[i] = h;
+  }
+}
+
 // Active-region mutation-event scan over the columnar arrays: for every
 // record emit (genome_pos, kind) events — kind 0=mismatch (MD + X CIGAR),
 // 1=insertion, 2=deletion, 3=softclip — matching
