@@ -338,12 +338,17 @@ def main():
             "device": str(device),
             "e2e": {
                 "ref_kb": ref_kb,
+                "host_cpus": os.cpu_count(),
                 "windows": s2.get("windows"),
                 "runtime_s": round(s2.get("runtime_s", 0.0), 2),
                 "run1_windows_per_s": round(run1, 3),
                 "run2_windows_per_s": round(win_per_s, 3),
                 "run_to_run_delta_pct": round(stability * 100, 1),
                 "stage_pct": {k: v.get("pct") for k, v in stage.items()},
+                "wall_s_by_phase": {
+                    k: v.get("seconds")
+                    for k, v in (s2.get("wall_profile") or {}).items()
+                },
                 "genotype_device_share_pct": round(device_pct, 1),
                 "status_counts": s2.get("status_counts"),
                 "peak_rss_mb": round(s2.get("peak_rss_mb", 0.0), 1),

@@ -206,6 +206,10 @@ class BatchPipelineExecutor:
 
         batch_iter = self._batches()
         next_result: dict = {}
+        # main-thread WALL attribution: the per-thread stage timer sums
+        # thread-seconds (inflated by oversubscription), so it cannot say
+        # where the run's wall clock went; these timers can.
+        wall = StageTimer()
 
         def prefetch(bidx: int, batch: list) -> threading.Thread:
             def run():
@@ -224,7 +228,8 @@ class BatchPipelineExecutor:
         while cur_batch is not None:
             batch = cur_batch
             lo = batch[0].genome_index
-            pending.join()
+            with wall.stage("prep_wait"):
+                pending.join()
             prepared_items = next_result.pop(bidx)
             if failures:
                 window, exc, tb = failures[0]
@@ -241,32 +246,34 @@ class BatchPipelineExecutor:
             all_q, all_qu, all_t, all_meta = [], [], [], []
             spans = []  # (bi, ci, start, stop) pair-index spans per component
             comp_data = []  # (bi, ci, reads, variants, pair_meta_local)
-            for bi, item in enumerate(prepared_items):
-                if item is None:
-                    continue
-                prepared, _code = item
-                if not isinstance(prepared, PreparedWindow):
-                    continue
-                for ci, pc in enumerate(prepared.components):
-                    hap_codes = [encode(h) for h in pc.hap_seqs]
-                    pq, pqu, pt, pm = genotyper.build_evidence_pairs(
-                        hap_codes, prepared.reads, pc.variants,
-                        anchor_pos1=pc.anchor_pos1,
-                        band_margin=self.band_margin,
-                    )
-                    spans.append((bi, ci, len(all_q), len(all_q) + len(pq)))
-                    comp_data.append((bi, ci, prepared, pc, pm))
-                    all_q.extend(pq)
-                    all_qu.extend(pqu)
-                    all_t.extend(pt)
-                    all_meta.extend(pm)
+            with wall.stage("build_pairs"):
+                for bi, item in enumerate(prepared_items):
+                    if item is None:
+                        continue
+                    prepared, _code = item
+                    if not isinstance(prepared, PreparedWindow):
+                        continue
+                    for ci, pc in enumerate(prepared.components):
+                        hap_codes = [encode(h) for h in pc.hap_seqs]
+                        pq, pqu, pt, pm = genotyper.build_evidence_pairs(
+                            hap_codes, prepared.reads, pc.variants,
+                            anchor_pos1=pc.anchor_pos1,
+                            band_margin=self.band_margin,
+                        )
+                        spans.append((bi, ci, len(all_q), len(all_q) + len(pq)))
+                        comp_data.append((bi, ci, prepared, pc, pm))
+                        all_q.extend(pq)
+                        all_qu.extend(pqu)
+                        all_t.extend(pt)
+                        all_meta.extend(pm)
 
             outs = None
             if all_q:
                 old_chunk = genotyper_mod._PAIR_CHUNK
                 genotyper_mod._PAIR_CHUNK = self.pair_chunk
                 try:
-                    with self.stage_timer.stage("genotype_device"):
+                    with self.stage_timer.stage("genotype_device"), \
+                            wall.stage("device"):
                         outs = genotyper.run_evidence_pairs(
                             all_q, all_qu, all_t, all_meta
                         )
@@ -279,6 +286,8 @@ class BatchPipelineExecutor:
             # allele-count K (reference budget: genotype_likelihood.cpp,
             # 0.2% CPU — on TPU it rides the already-open device stream).
             pending_rows: list[tuple[int, object, object, dict]] = []
+            wall_c = wall.stage("phase_c")
+            wall_c.__enter__()
             for (bi, ci, prepared, pc, pm), (sbi, sci, start, stop) in zip(
                 comp_data, spans
             ):
@@ -323,12 +332,16 @@ class BatchPipelineExecutor:
                 if calls:
                     self.store.add_variants(calls)
                 num_done += 1
+            wall_c.__exit__(None, None, None)
 
             # windows are processed in genomic batch order: everything before
             # the next batch's first window is final
             if next_batch is not None:
                 w = next_batch[0]
-                flushed += self.store.flush_before_pos(w.chrom_index, w.start1, out)
+                with wall.stage("flush"):
+                    flushed += self.store.flush_before_pos(
+                        w.chrom_index, w.start1, out
+                    )
                 if self.checkpoint is not None:
                     self.checkpoint.save(w.chrom_index, w.start1, num_done)
             rate = num_done / (time.monotonic() - t_start)
@@ -343,6 +356,13 @@ class BatchPipelineExecutor:
         if stage_report:
             LOG.info("stage profile: %s",
                      ", ".join(f"{k}={v['pct']}%" for k, v in stage_report.items()))
+        wall_report = wall.report()
+        accounted = sum(v["seconds"] for v in wall_report.values())
+        wall_report["other"] = {
+            "seconds": round(max(runtime - accounted, 0.0), 3),
+            "pct": 0.0,
+            "count": 1,
+        }
         return {
             "windows": num_done,
             "flushed": flushed,
@@ -350,4 +370,5 @@ class BatchPipelineExecutor:
             "windows_per_s": num_done / runtime if runtime > 0 else 0.0,
             "status_counts": {k.name: v for k, v in self.status_counts.items()},
             "stage_profile": stage_report,
+            "wall_profile": wall_report,
         }
