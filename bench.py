@@ -317,6 +317,15 @@ def main():
     run1 = s1.get("windows_per_s", 0.0)
     stability = abs(run1 - win_per_s) / max(win_per_s, 1e-9)
 
+    # measured pass-2 fraction from the e2e run just executed (fraction of
+    # evidence pairs that needed the full kernel after the span-gate pass)
+    from lancet2_tpu.caller.genotyper import PASS2_STATS
+
+    pass2_frac = (
+        PASS2_STATS["pass2"] / PASS2_STATS["total"]
+        if PASS2_STATS["total"] else 0.221
+    )
+
     sw_gcups, sw_dt = bench_sw_kernel()
     ev_gcups, ev_dt = bench_evidence_pallas()
     span_gcups, span_dt = bench_span_kernel()
@@ -358,8 +367,9 @@ def main():
             "evidence_kernel_ms_per_2048pair_chunk": round(ev_dt * 1e3, 2),
             "span_kernel_gcups": round(span_gcups, 2),
             "evidence_two_pass_effective_gcups": round(
-                1.0 / (1.0 / span_gcups + 0.221 / ev_gcups), 2
+                1.0 / (1.0 / span_gcups + pass2_frac / ev_gcups), 2
             ),
+            "evidence_pass2_fraction_measured": round(pass2_frac, 4),
             "graph_build_device_windows_per_s": round(gb_win_s, 2),
             "graph_build_device_ms": round(gb_dt * 1e3, 1),
             "graph_build_nodes": gb_nodes,

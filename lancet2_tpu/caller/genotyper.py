@@ -44,6 +44,10 @@ from lancet2_tpu.ops.affine_dp import READ_TO_HAP, align_batch_numpy, traceback_
 REF_HAP_IDX = 0
 _PAIR_CHUNK = 512
 
+# cumulative two-pass dispatch stats (pairs seen / pairs sent to the full
+# evidence kernel) — read by bench.py to derive the measured pass-2 fraction
+PASS2_STATS = {"total": 0, "pass2": 0}
+
 
 _TARGET_BUCKETS = (64, 128, 256, 384, 512, 768, 1024, 1280, 1536, 2048, 4096, 8192)
 _QUERY_BUCKETS = (160, 320, 640, 1280)
@@ -358,6 +362,8 @@ class Genotyper:
         pass_gate = (score >= min_scores) & (t_end > t_start)
         needed = np.flatnonzero(pass_gate & overlap & ~tainted)
         host_rerun = np.flatnonzero(tainted)
+        PASS2_STATS["total"] += n
+        PASS2_STATS["pass2"] += int(needed.size)
 
         outs = {
             "score": score, "t_end": t_end, "t_start": t_start, "nm": nm,

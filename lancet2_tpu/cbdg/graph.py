@@ -332,7 +332,13 @@ class Graph:
 
         if not native_core.available():
             return False, False
-        num_samples = self.params.num_samples
+        # guard against a stale/default num_samples=0: the native pass sizes
+        # per-sample count arrays from it, and an out-of-range sample_index
+        # would write past the buffer (segfault, not an exception)
+        num_samples = max(
+            self.params.num_samples,
+            max((r.sample_index + 1 for r in reads), default=0),
+        )
         seqs: list[np.ndarray] = []
         quals: list[np.ndarray | None] = []
         meta: list[tuple[int, int, int, int]] = []
@@ -444,7 +450,12 @@ class Graph:
     def _build_graph(self, ref_codes: np.ndarray, reads: list[Read], k: int) -> None:
         self.nodes = {}
         self.ref_node_ids = []
-        num_samples = self.params.num_samples
+        # same oob guard as _assemble_native_k: sample_index must fit the
+        # per-sample count arrays even when params.num_samples is unset
+        num_samples = max(
+            self.params.num_samples,
+            max((r.sample_index + 1 for r in reads), default=0),
+        )
 
         seqs: list[np.ndarray] = []
         seq_quals: list[np.ndarray | None] = []

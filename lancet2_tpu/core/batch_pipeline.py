@@ -286,53 +286,55 @@ class BatchPipelineExecutor:
             # allele-count K (reference budget: genotype_likelihood.cpp,
             # 0.2% CPU — on TPU it rides the already-open device stream).
             pending_rows: list[tuple[int, object, object, dict]] = []
-            wall_c = wall.stage("phase_c")
-            wall_c.__enter__()
-            for (bi, ci, prepared, pc, pm), (sbi, sci, start, stop) in zip(
-                comp_data, spans
-            ):
-                comp_outs = {k: v[start:stop] for k, v in (outs or {}).items()}
-                with self.stage_timer.stage("assemble_evidence"):
-                    geno = genotyper.assemble_evidence(
-                        prepared.reads, pc.variants, pm, comp_outs
+            with wall.stage("phase_c"):
+                for (bi, ci, prepared, pc, pm), (_sbi, _sci, start, stop) in zip(
+                    comp_data, spans
+                ):
+                    comp_outs = {k: v[start:stop] for k, v in (outs or {}).items()}
+                    with self.stage_timer.stage("assemble_evidence"):
+                        geno = genotyper.assemble_evidence(
+                            prepared.reads, pc.variants, pm, comp_outs
+                        )
+                    for vi, variant in enumerate(pc.variants):
+                        supports = geno.get(vi)
+                        if not supports:
+                            continue
+                        if not any(
+                            s.total_alt_cov() > 0 for s in supports.values()
+                        ):
+                            continue
+                        pending_rows.append((bi, prepared, variant, supports))
+
+                pls_tables = self._device_pl_tables(pending_rows, devices)
+
+                per_window_calls: dict[int, list[VariantCall]] = {}
+                for row_idx, (bi, prepared, variant, supports) in enumerate(
+                    pending_rows
+                ):
+                    per_window_calls.setdefault(bi, []).append(
+                        VariantCall(
+                            variant, supports, prepared.sample_summaries,
+                            prepared.window.length,
+                            window_index=prepared.window.genome_index,
+                            pls_lookup=pls_tables.get(row_idx),
+                        )
                     )
-                for vi, variant in enumerate(pc.variants):
-                    supports = geno.get(vi)
-                    if not supports:
+
+                for bi, item in enumerate(prepared_items):
+                    if item is None:
                         continue
-                    if not any(s.total_alt_cov() > 0 for s in supports.values()):
-                        continue
-                    pending_rows.append((bi, prepared, variant, supports))
-
-            pls_tables = self._device_pl_tables(pending_rows, devices)
-
-            per_window_calls: dict[int, list[VariantCall]] = {}
-            for row_idx, (bi, prepared, variant, supports) in enumerate(pending_rows):
-                per_window_calls.setdefault(bi, []).append(
-                    VariantCall(
-                        variant, supports, prepared.sample_summaries,
-                        prepared.window.length,
-                        window_index=prepared.window.genome_index,
-                        pls_lookup=pls_tables.get(row_idx),
-                    )
-                )
-
-            for bi, item in enumerate(prepared_items):
-                if item is None:
-                    continue
-                prepared, code = item
-                calls = per_window_calls.get(bi, [])
-                if isinstance(prepared, PreparedWindow):
-                    code = (
-                        StatusCode.FOUND_GENOTYPED_VARIANT
-                        if calls
-                        else StatusCode.MISSING_NO_MSA_VARIANTS
-                    )
-                self.status_counts[code] = self.status_counts.get(code, 0) + 1
-                if calls:
-                    self.store.add_variants(calls)
-                num_done += 1
-            wall_c.__exit__(None, None, None)
+                    prepared, code = item
+                    calls = per_window_calls.get(bi, [])
+                    if isinstance(prepared, PreparedWindow):
+                        code = (
+                            StatusCode.FOUND_GENOTYPED_VARIANT
+                            if calls
+                            else StatusCode.MISSING_NO_MSA_VARIANTS
+                        )
+                    self.status_counts[code] = self.status_counts.get(code, 0) + 1
+                    if calls:
+                        self.store.add_variants(calls)
+                    num_done += 1
 
             # windows are processed in genomic batch order: everything before
             # the next batch's first window is final
@@ -358,9 +360,15 @@ class BatchPipelineExecutor:
                      ", ".join(f"{k}={v['pct']}%" for k, v in stage_report.items()))
         wall_report = wall.report()
         accounted = sum(v["seconds"] for v in wall_report.values())
+        other_s = max(runtime - accounted, 0.0)
+        # rescale pcts against total wall runtime so entries + 'other' sum
+        # to ~100% (StageTimer computed them against accounted time only)
+        if runtime > 0:
+            for v in wall_report.values():
+                v["pct"] = round(100.0 * v["seconds"] / runtime, 1)
         wall_report["other"] = {
-            "seconds": round(max(runtime - accounted, 0.0), 3),
-            "pct": 0.0,
+            "seconds": round(other_s, 3),
+            "pct": round(100.0 * other_s / runtime, 1) if runtime > 0 else 0.0,
             "count": 1,
         }
         return {

@@ -24,11 +24,11 @@ jax.config.update("jax_platforms", "cpu")
 # persistent XLA compile cache: the suite's dominant cost on small hosts is
 # recompiling the same evidence-DP/window-step shapes every run
 _cache_dir = os.path.expanduser("~/.cache/lancet2_tpu/xla")
-os.makedirs(_cache_dir, exist_ok=True)
 try:
+    os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
-    pass
+    pass  # best-effort: unwritable HOME degrades to no cache, not a failure
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

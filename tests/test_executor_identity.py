@@ -89,6 +89,29 @@ class TestExecutorIdentity:
         assert runs[0], "fixture must produce records"
         assert runs[0] == runs[1] == runs[2]
 
+    def test_status_histogram_identity_threads_vs_batch(self, fixture):
+        """The per-window status-code histogram the operator reads at the
+        end of a run (reference: pipeline_executor.cpp:79-93) must agree
+        between the threads and batch executors — both resolve
+        found-but-unsupported windows to MISSING_NO_MSA_VARIANTS exactly
+        like the reference (variant_builder.cpp:264-273)."""
+        from lancet2_tpu.cli.main import build_parser, run_pipeline
+
+        tmp, fx = fixture
+
+        def stats(name, extra):
+            argv = [
+                "pipeline", "-n", fx["normal"], "-t", fx["tumor"],
+                "-r", fx["fasta"], "-o", str(tmp / f"{name}.vcf.gz"),
+                "-T", "2",
+            ] + extra
+            parsed = build_parser().parse_args(argv)
+            return run_pipeline(parsed, "test")
+
+        s_thr = stats("hist_thr", ["--aligner-backend", "evidence"])
+        s_bat = stats("hist_bat", ["--executor", "batch"])
+        assert s_thr.get("status_counts") == s_bat.get("status_counts")
+
     def test_backend_identity_jax_vs_evidence(self, fixture):
         """The evidence (traceback-free) engine must reproduce the CIGAR-walk
         jax engine's records end-to-end, not just at unit level."""
