@@ -489,6 +489,217 @@ class Genotyper:
         inv[order] = np.arange(len(order))
         return {k: np.concatenate(v)[inv] for k, v in outs.items()}
 
+    # ------------------------------------------------------------------
+    # array-form phase 2: same two-pass dispatch as run_evidence_pairs but
+    # over pre-padded [N, Lq]/[N, Lt] arrays (the packed prep-worker
+    # protocol, core/prep_worker.py) — chunking is pure array slicing, no
+    # per-pair Python. Results are identical to the list form: padding rows
+    # never influence per-pair outputs (parity-tested).
+    # ------------------------------------------------------------------
+    def run_evidence_arrays(self, qs, qus, qlens, ts, tlens, regions,
+                            pair_chunk: int | None = None):
+        chunk = pair_chunk if pair_chunk is not None else _PAIR_CHUNK
+        if _on_device():
+            return self._run_evidence_arrays_device(
+                qs, qus, qlens, ts, tlens, regions, chunk
+            )
+        from lancet2_tpu.ops.evidence_dp import evidence_dp
+
+        n = qs.shape[0]
+        outs: dict[str, list] = {}
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            bb = _bucket(hi - lo, (64, 128, 256, 512, 1024, 2048, 4096))
+            out = evidence_dp(*self._pad_chunk_arrays(
+                qs, qus, qlens, ts, tlens, regions, lo, hi, bb
+            ))
+            for k, arr in out.items():
+                outs.setdefault(k, []).append(np.asarray(arr)[: hi - lo])
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    @staticmethod
+    def _pad_chunk_arrays(qs, qus, qlens, ts, tlens, regions, lo, hi, bb):
+        """Slice [lo, hi) and pad the batch dim to bb rows (inert rows:
+        all-N bases, length 1 — their outputs are never read)."""
+        n = hi - lo
+        if n == bb:
+            return (qs[lo:hi], qus[lo:hi], qlens[lo:hi],
+                    ts[lo:hi], tlens[lo:hi], regions[lo:hi])
+        pad = bb - n
+        return (
+            np.pad(qs[lo:hi], ((0, pad), (0, 0)), constant_values=5),
+            np.pad(qus[lo:hi], ((0, pad), (0, 0))),
+            np.pad(qlens[lo:hi], (0, pad), constant_values=1),
+            np.pad(ts[lo:hi], ((0, pad), (0, 0)), constant_values=5),
+            np.pad(tlens[lo:hi], (0, pad), constant_values=1),
+            np.pad(regions[lo:hi], ((0, pad), (0, 0), (0, 0))),
+        )
+
+    def _run_evidence_arrays_device(self, qs, qus, qlens, ts, tlens, regions,
+                                    chunk):
+        import contextlib
+
+        import jax
+
+        from lancet2_tpu.ops.evidence_dp import R_MAX
+        from lancet2_tpu.ops.evidence_pallas import (
+            span_pairs_finalize,
+            span_pairs_submit,
+        )
+
+        n = qs.shape[0]
+        devices = self.devices
+
+        # ---- pass 1: span kernel over every pair, all submits first ------
+        pend = []
+        for ci, lo in enumerate(range(0, n, chunk)):
+            hi = min(lo + chunk, n)
+            cqs, cqus, cql, cts, ctl, _creg = self._pad_chunk_arrays(
+                qs, qus, qlens, ts, tlens, regions, lo, hi, chunk
+            )
+            ctx = (
+                jax.default_device(devices[ci % len(devices)])
+                if devices
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                iout, fout, B = span_pairs_submit(cqs, cqus, cql, cts, ctl)
+            pend.append((iout, fout, B, lo, hi))
+        for iout, _f, *_rest in pend:
+            iout.copy_to_host_async()
+
+        score = np.zeros(n, np.int64)
+        t_end = np.zeros(n, np.int64)
+        t_start = np.zeros(n, np.int64)
+        nm = np.zeros(n, np.int64)
+        tainted = np.zeros(n, bool)
+        for iout, fout, B, lo, hi in pend:
+            span = span_pairs_finalize(iout, fout, B)
+            m = hi - lo
+            score[lo:hi] = span["score"][:m]
+            t_end[lo:hi] = span["t_end"][:m]
+            t_start[lo:hi] = span["t_start"][:m]
+            nm[lo:hi] = span["nm"][:m]
+            tainted[lo:hi] = span["overflow"][:m]
+        active = regions[:, :, 1] > regions[:, :, 0]
+        overlap = (
+            (regions[:, :, 1] > t_start[:, None])
+            & (regions[:, :, 0] < t_end[:, None])
+            & active
+        ).any(axis=1)
+
+        min_scores = (self.min_score_frac * qlens).astype(np.int64)
+        pass_gate = (score >= min_scores) & (t_end > t_start)
+        needed = np.flatnonzero(pass_gate & overlap & ~tainted)
+        host_rerun = np.flatnonzero(tainted)
+        PASS2_STATS["total"] += n
+        PASS2_STATS["pass2"] += int(needed.size)
+
+        outs = {
+            "score": score, "t_end": t_end, "t_start": t_start, "nm": nm,
+            "qv": np.full((n, R_MAX), -1, np.int64),
+            "aligned": np.zeros((n, R_MAX), np.int64),
+            "min_bq": np.full((n, R_MAX), 255, np.int64),
+            "raw": np.zeros((n, R_MAX), np.float64),
+            "pbq": np.zeros((n, R_MAX), np.float64),
+            "matches": np.zeros((n, R_MAX), np.float64),
+        }
+
+        # ---- pass 2: full evidence kernel on the needed subset -----------
+        if needed.size:
+            sub = self._evidence_arrays_full(
+                qs[needed], qus[needed], qlens[needed],
+                ts[needed], tlens[needed], regions[needed],
+                chunk_size=min(chunk, 512),
+            )
+            for k in outs:
+                outs[k][needed] = np.asarray(sub[k]).astype(
+                    outs[k].dtype, copy=False
+                )
+
+        if host_rerun.size:
+            from lancet2_tpu.ops.evidence_pallas import host_evidence_dp
+
+            sub = host_evidence_dp(
+                qs[host_rerun], qus[host_rerun], qlens[host_rerun],
+                ts[host_rerun], tlens[host_rerun], regions[host_rerun],
+            )
+            for k in outs:
+                outs[k][host_rerun] = np.asarray(sub[k]).astype(
+                    outs[k].dtype, copy=False
+                )
+        return outs
+
+    def _evidence_arrays_full(self, qs, qus, qlens, ts, tlens, regions,
+                              chunk_size: int):
+        """Array-form single-pass full evidence dispatch (the pass-2 engine)."""
+        import contextlib
+
+        import jax
+
+        from lancet2_tpu.ops.evidence_pallas import (
+            R_KERNEL_MAX,
+            evidence_pairs_finalize,
+            evidence_pairs_submit,
+        )
+
+        devices = self.devices
+        n = qs.shape[0]
+        # stable partition by active-region count so 2-region pairs don't
+        # force whole chunks onto the costlier R=2 kernel
+        n_act = (regions[:, :, 1] > regions[:, :, 0]).sum(axis=1)
+        order = np.argsort(n_act > 1, kind="stable")
+        if not np.array_equal(order, np.arange(n)):
+            qs, qus, qlens = qs[order], qus[order], qlens[order]
+            ts, tlens, regions = ts[order], tlens[order], regions[order]
+
+        pending = []
+        for ci, lo in enumerate(range(0, n, chunk_size)):
+            hi = min(lo + chunk_size, n)
+            chunk = self._pad_chunk_arrays(
+                qs, qus, qlens, ts, tlens, regions, lo, hi, chunk_size
+            )
+            creg = chunk[5]
+            if (creg[:, R_KERNEL_MAX:, 1] > creg[:, R_KERNEL_MAX:, 0]).any():
+                pending.append(("sync", chunk, hi - lo))
+                continue
+            ctx = (
+                jax.default_device(devices[ci % len(devices)])
+                if devices
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                iout, fout, B, R = evidence_pairs_submit(*chunk)
+            pending.append(("async", (iout, fout, B, R, chunk), hi - lo))
+
+        for kind, item, _n in pending:
+            if kind == "async":
+                item[0].copy_to_host_async()
+                item[1].copy_to_host_async()
+
+        outs: dict[str, list] = {}
+        for kind, item, n_pairs in pending:
+            if kind == "sync":
+                from lancet2_tpu.ops.evidence_pallas import evidence_dp_exact
+
+                out = evidence_dp_exact(*item)
+            else:
+                iout, fout, B, R, chunk = item
+                out = evidence_pairs_finalize(iout, fout, B, R)
+                ovf = out.pop("overflow")
+                if ovf[:n_pairs].any():
+                    from lancet2_tpu.ops.evidence_pallas import host_evidence_dp
+
+                    idx = np.flatnonzero(ovf[:n_pairs])
+                    sub = host_evidence_dp(*(np.asarray(a)[idx] for a in chunk))
+                    for k in out:
+                        out[k][idx] = sub[k]
+            for key, arr in out.items():
+                outs.setdefault(key, []).append(arr[:n_pairs])
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return {k: np.concatenate(v)[inv] for k, v in outs.items()}
+
     def assemble_evidence(self, reads, variants, pair_meta, outs):
         """Phase 3: per-read allele assignment + VariantSupport assembly."""
         # per-read assembly (mirrors the CIGAR-walk backend's logic)

@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--executor", choices=["threads", "batch"], default="threads",
                     help="batch = two-phase executor with fused cross-window "
                          "evidence-DP dispatches (implies the evidence backend)")
+    pl.add_argument("--prep-mode", choices=["auto", "processes", "threads"],
+                    default="auto",
+                    help="batch-executor phase-A workers: fork processes "
+                         "(GIL-free scaling, default on posix) or threads "
+                         "(byte-identical results either way)")
     pl.add_argument("--device", choices=["cpu", "tpu"], default="cpu",
                     help="where the jitted evidence-DP runs: cpu pins JAX to "
                          "host XLA; tpu keeps the default accelerator backend "
@@ -373,6 +378,7 @@ def run_pipeline(args, command_line: str) -> dict:
             checkpoint=ckpt,
             min_emit_pos=min_emit_pos,
             total_hint=expected_windows if stream_windows else None,
+            prep_mode=args.prep_mode,
         )
     else:
         executor = PipelineExecutor(

@@ -1,35 +1,45 @@
-"""Batch executor: host prepare threads + fused cross-window evidence DP.
+"""Batch executor: parallel phase-A prep + fused cross-window evidence DP.
 
 The threads executor genotypes inside each worker, one window at a time —
 fine on a CPU, but device dispatch wants large fused batches. This executor
 splits the pipeline (SURVEY.md §7 architecture sketch):
 
-  phase A (worker threads) window gating, read collection, assembly,
-                           variant extraction/annotation (host-bound)
+  phase A (prep workers)   window gating, read collection, assembly, variant
+                           extraction/annotation, pair building + padding —
+                           host-bound, runs in fork PROCESSES by default
+                           (COW-shared decoded BAM pools, no GIL; the
+                           reference's jthread scaling model,
+                           core/pipeline_executor.cpp:174) with a threads
+                           fallback producing byte-identical payloads
   phase B (single stream)  ALL (read x haplotype x region-chunk) pairs of a
                            window batch concatenated into one evidence-DP
-                           stream — few large bucketed dispatches instead of
-                           per-window small ones (ops/evidence_dp.py)
+                           stream — few large bucketed device dispatches
+                           (caller/genotyper.run_evidence_arrays)
   phase C (host)           per-window allele assignment, evidence features,
                            VariantCall assembly, ordered store/flush
 
 Windows remain embarrassingly parallel; the fused phase B only changes the
 dispatch granularity, not the results — output is record-identical to the
-threads executor (tested).
+threads executor (tests/test_executor_identity.py).
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
-import traceback
 
-from lancet2_tpu.caller.genotyper import Genotyper
+import numpy as np
+
 from lancet2_tpu.caller.variant_call import VariantCall
+from lancet2_tpu.core.prep_worker import (
+    PackedWindow,
+    coordinator_main,
+    prepare_and_pack,
+)
 from lancet2_tpu.core.variant_builder import (
     BuilderParams,
-    PreparedWindow,
     StatusCode,
     VariantBuilder,
 )
@@ -57,6 +67,7 @@ class BatchPipelineExecutor:
         band_margin: int | None = 96,
         total_hint: int | None = None,
         devices: list | None = None,
+        prep_mode: str = "auto",
     ):
         self.params = params
         self.ref = ref
@@ -77,46 +88,127 @@ class BatchPipelineExecutor:
         )
         self.status_counts: dict[StatusCode, int] = {}
         self.stage_timer = StageTimer()
-        self._timer_lock = threading.Lock()
         # explicit device list for evidence-chunk round-robin (multi-chip);
         # None = auto (all devices when the default backend is an accelerator)
         self.devices = devices
-        # persistent per-worker builders over ONE shared reader pool:
-        # whole-file decode + the active-region event index happen once per
-        # input file for the whole run, not once per (batch, worker)
+        # prep backend: 'processes' (fork, default on posix), 'threads'
+        self.prep_mode = prep_mode
         self._reader_pool: dict = {}
-        self._builders: list[VariantBuilder | None] = [None] * self.num_workers
+        self._procs: list = []
+        self._threads: list = []
+        self._work_q = None
+        self._result_q = None
+        self._results: dict[int, PackedWindow] = {}
+        self._errors: list = []
 
-    def _device_pl_tables(self, pending_rows, devices):
-        """Batched device DM PLs for every (call, sample) of a window batch.
+    # ------------------------------------------------------------------
+    # prep backends
+    # ------------------------------------------------------------------
+    def _use_processes(self) -> bool:
+        if self.prep_mode == "threads":
+            return False
+        # streaming readers keep live file handles whose seek offsets would
+        # be shared across forked children — threads only
+        if getattr(self.params.collector, "stream_bam", False):
+            if self.prep_mode == "processes":
+                LOG.warning("--prep-mode processes is incompatible with "
+                            "--stream-bam; using threads")
+            return False
+        if self.prep_mode == "processes":
+            return True
+        return hasattr(os, "fork") and os.name == "posix"
 
-        Rows group by allele count K (one jitted dispatch each, typically
-        K=2) and run in scoped-x64 float64 on the device — bit-equal to the
-        host engine (float32 is not: see batched_genotype_pls_exact).
-        Returns {row_index: {sample_name: pls}}; empty when not on an
-        accelerator (host math is faster than a tunnel round-trip).
-        """
-        if devices is None or not pending_rows:
-            return {}
-        import numpy as np
+    def _start_prep_workers(self, max_regions, lq_buckets, lt_buckets):
+        n = max(1, min(self.num_workers, os.cpu_count() or self.num_workers))
+        self._n_prep_workers = n
+        if self._use_processes():
+            import multiprocessing as mp
 
-        from lancet2_tpu.ops.genotype_tpu import batched_genotype_pls_exact
+            # SPAWN one clean jax-free coordinator (forking this process
+            # directly corrupts the inherited TPU tunnel transport —
+            # prep_worker.coordinator_main documents the failure); the
+            # coordinator decodes inputs once, then forks the N workers,
+            # which inherit the pools copy-on-write and talk to us through
+            # these spawn-context queues directly.
+            ctx = mp.get_context("spawn")
+            self._work_q = ctx.Queue()
+            self._result_q = ctx.Queue()
+            p = ctx.Process(
+                target=coordinator_main,
+                args=(self._work_q, self._result_q, self.params,
+                      self.ref.path, self.samples, self.band_margin,
+                      max_regions, lt_buckets, lq_buckets, n),
+                daemon=False,  # daemons may not fork the workers
+            )
+            p.start()
+            self._procs.append(p)
+            LOG.info("prep: spawned coordinator + %d fork worker(s)", n)
+            return
 
-        by_k: dict[int, list[tuple[int, str, list[int]]]] = {}
-        for row_idx, (_bi, _prepared, variant, supports) in enumerate(pending_rows):
-            k = len(variant.alts) + 1
-            for sample_name, sup in supports.items():
-                counts = [sup.total_allele_cov(i) for i in range(k)]
-                by_k.setdefault(k, []).append((row_idx, sample_name, counts))
+        # threads fallback: same protocol, same packed payloads
+        import copy
 
-        tables: dict[int, dict[str, object]] = {}
-        with self.stage_timer.stage("genotype_pls_device"):
-            for k, rows in by_k.items():
-                counts = np.array([r[2] for r in rows], np.int64)
-                pls = batched_genotype_pls_exact(counts, k)
-                for (row_idx, sample_name, _c), pl_row in zip(rows, pls):
-                    tables.setdefault(row_idx, {})[sample_name] = pl_row
-        return tables
+        from lancet2_tpu.caller.genotyper import Genotyper
+
+        self._work_q = queue.Queue()
+        self._result_q = queue.Queue()
+
+        def thread_main():
+            samples = [copy.copy(s) for s in self.samples]
+            builder = VariantBuilder(self.params, self.ref, samples,
+                                     reader_pool=self._reader_pool)
+            genotyper = Genotyper(backend="evidence")
+            while True:
+                item = self._work_q.get()
+                if item is None:
+                    return
+                seq, window = item
+                try:
+                    payload = prepare_and_pack(
+                        builder, genotyper, window, self.band_margin,
+                        max_regions, lt_buckets, lq_buckets,
+                    )
+                    self._result_q.put((seq, "ok", payload))
+                except Exception as exc:
+                    import traceback
+
+                    self._result_q.put(
+                        (seq, "error", (repr(exc), traceback.format_exc()))
+                    )
+
+        for _ in range(n):
+            t = threading.Thread(target=thread_main, daemon=True)
+            t.start()
+            self._threads.append(t)
+        LOG.info("prep: %d worker thread(s)", n)
+
+    def _stop_prep_workers(self):
+        if self._work_q is None:
+            return
+        # one sentinel per worker (the coordinator exits when its forked
+        # workers do; threads consume their own)
+        for _ in range(max(len(self._threads), getattr(self, "_n_prep_workers", 1))):
+            self._work_q.put(None)
+        for t in self._threads:
+            t.join(timeout=30)
+        for p in self._procs:
+            p.join(timeout=30)
+            if p.is_alive():
+                p.terminate()
+        self._procs = []
+        self._threads = []
+
+    def _wait_for(self, seqs: list[int]) -> list[PackedWindow]:
+        """Block until every seq in `seqs` has a payload; returns in order."""
+        want = set(seqs) - set(self._results)
+        while want:
+            seq, kind, payload = self._result_q.get()
+            if kind in ("error", "fatal"):
+                msg, tb = payload
+                raise RuntimeError(f"prepare failed: {msg}\n{tb}")
+            self._results[seq] = payload
+            want.discard(seq)
+        return [self._results.pop(s) for s in seqs]
 
     def _batches(self):
         """Yield window batches from the list or the streaming iterator."""
@@ -133,224 +225,235 @@ class BatchPipelineExecutor:
             for lo in range(0, len(self.windows), self.window_batch):
                 yield self.windows[lo : lo + self.window_batch]
 
-    def execute(self, out) -> dict:
-        import copy
+    # ------------------------------------------------------------------
+    def _device_pl_tables(self, pending_rows, devices):
+        """Batched device DM PLs for every (call, sample) of a window batch.
 
+        Rows group by allele count K (one jitted dispatch each, typically
+        K=2) and run in scoped-x64 float64 on the device — bit-equal to the
+        host engine (float32 is not: see batched_genotype_pls_exact).
+        Returns {row_index: {sample_name: pls}}; empty when not on an
+        accelerator (host math is faster than a tunnel round-trip).
+        """
+        if devices is None or not pending_rows:
+            return {}
+        from lancet2_tpu.ops.genotype_tpu import batched_genotype_pls_exact
+
+        by_k: dict[int, list[tuple[int, str, list[int]]]] = {}
+        for row_idx, (_bi, _payload, variant, supports) in enumerate(pending_rows):
+            k = len(variant.alts) + 1
+            for sample_name, sup in supports.items():
+                counts = [sup.total_allele_cov(i) for i in range(k)]
+                by_k.setdefault(k, []).append((row_idx, sample_name, counts))
+
+        tables: dict[int, dict[str, object]] = {}
+        with self.stage_timer.stage("genotype_pls_device"):
+            for k, rows in by_k.items():
+                counts = np.array([r[2] for r in rows], np.int64)
+                pls = batched_genotype_pls_exact(counts, k)
+                for (row_idx, sample_name, _c), pl_row in zip(rows, pls):
+                    tables.setdefault(row_idx, {})[sample_name] = pl_row
+        return tables
+
+    # ------------------------------------------------------------------
+    def execute(self, out) -> dict:
         if not self.streaming and len(self.windows) == 0:
             return {"windows": 0, "flushed": 0}
         t_start = time.monotonic()
 
+        from lancet2_tpu.caller.genotyper import (
+            _DEVICE_TARGET_BUCKETS,
+            _QUERY_BUCKETS,
+            _TARGET_BUCKETS,
+            Genotyper,
+            _on_device,
+        )
+        from lancet2_tpu.ops.evidence_dp import R_MAX
+
+        on_device = _on_device()
+        if on_device:
+            from lancet2_tpu.ops.evidence_pallas import R_KERNEL_MAX
+
+            max_regions = R_KERNEL_MAX
+            lt_buckets = _DEVICE_TARGET_BUCKETS
+        else:
+            max_regions = R_MAX
+            lt_buckets = _TARGET_BUCKETS
+
+        # fork prep workers BEFORE touching jax device state in this frame
+        self._start_prep_workers(max_regions, _QUERY_BUCKETS, lt_buckets)
+
         import jax
 
-        from lancet2_tpu.caller import genotyper as genotyper_mod
-
         devices = self.devices if self.devices is not None else (
-            list(jax.devices())
-            if jax.default_backend() in ("tpu", "axon")
-            else None
+            list(jax.devices()) if on_device else None
         )
         genotyper = Genotyper(backend="evidence", devices=devices)
 
-        # sequential builder construction: the first one decodes each input
-        # file into the shared pool; the rest attach to it
-        for wid in range(self.num_workers):
-            if self._builders[wid] is None:
-                samples = [copy.copy(s) for s in self.samples]
-                self._builders[wid] = VariantBuilder(
-                    self.params, self.ref, samples,
-                    reader_pool=self._reader_pool,
-                )
-
         flushed = 0
         num_done = 0
-        failures: list = []
-
-        def prepare_batch(batch) -> list:
-            """Phase A for one batch: gate/collect/assemble/extract in
-            worker threads. Runs concurrently with the previous batch's
-            device phase (B) — host prep hides under device compute."""
-            prepared_items: list[PreparedWindow | None] = [None] * len(batch)
-            work_q: queue.Queue = queue.Queue()
-            for bi, w in enumerate(batch):
-                work_q.put((bi, w))
-
-            def prep_worker(worker_id: int) -> None:
-                builder = self._builders[worker_id]
-                while True:
-                    try:
-                        bi, window = work_q.get_nowait()
-                    except queue.Empty:
-                        with self._timer_lock:
-                            self.stage_timer.merge(builder.timer)
-                        builder.timer = StageTimer()  # builders persist
-                        return
-                    try:
-                        prepared = builder.prepare_window(window)
-                    except Exception as exc:
-                        failures.append((window, exc, traceback.format_exc()))
-                        with self._timer_lock:
-                            self.stage_timer.merge(builder.timer)
-                        builder.timer = StageTimer()  # builders persist
-                        return
-                    prepared_items[bi] = (prepared, builder.current_code)
-
-            threads = [
-                threading.Thread(target=prep_worker, args=(wid,), daemon=True)
-                for wid in range(self.num_workers)
-            ]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            return prepared_items
-
-        batch_iter = self._batches()
-        next_result: dict = {}
-        # main-thread WALL attribution: the per-thread stage timer sums
-        # thread-seconds (inflated by oversubscription), so it cannot say
-        # where the run's wall clock went; these timers can.
+        seq_counter = 0
         wall = StageTimer()
 
-        def prefetch(bidx: int, batch: list) -> threading.Thread:
-            def run():
-                next_result[bidx] = prepare_batch(batch)
+        def enqueue(batch) -> list[int]:
+            nonlocal seq_counter
+            seqs = []
+            for w in batch:
+                self._work_q.put((seq_counter, w))
+                seqs.append(seq_counter)
+                seq_counter += 1
+            return seqs
 
-            t = threading.Thread(target=run, daemon=True)
-            t.start()
-            return t
+        try:
+            batch_iter = self._batches()
+            cur_batch = next(batch_iter, None)
+            if cur_batch is None:
+                return {"windows": 0, "flushed": 0}
+            cur_seqs = enqueue(cur_batch)
+            next_batch = next(batch_iter, None)
+            next_seqs = enqueue(next_batch) if next_batch is not None else None
 
-        cur_batch = next(batch_iter, None)
-        if cur_batch is None:
-            return {"windows": 0, "flushed": 0}
-        bidx = 0
-        pending = prefetch(0, cur_batch)
-        next_batch = next(batch_iter, None)
-        while cur_batch is not None:
-            batch = cur_batch
-            lo = batch[0].genome_index
-            with wall.stage("prep_wait"):
-                pending.join()
-            prepared_items = next_result.pop(bidx)
-            if failures:
-                window, exc, tb = failures[0]
-                raise RuntimeError(
-                    f"prepare failed on window {window.to_samtools()}: {exc}\n{tb}"
+            while cur_batch is not None:
+                batch = cur_batch
+                lo = batch[0].genome_index
+                with wall.stage("prep_wait"):
+                    payloads = self._wait_for(cur_seqs)
+                for p in payloads:
+                    for k, v in p.timer_totals.items():
+                        self.stage_timer.totals[k] += v
+                    for k, v in p.timer_counts.items():
+                        self.stage_timer.counts[k] += v
+
+                # ---- phase B: fused evidence DP over the whole batch -----
+                # group windows by padded pair-array shape; one fused
+                # array stream per group (pair outputs are independent of
+                # chunk composition, so grouping is result-neutral)
+                groups: dict[tuple[int, int], list[int]] = {}
+                for bi, p in enumerate(payloads):
+                    if p.pairs is not None:
+                        key = (p.pairs["lq_bucket"], p.pairs["lt_bucket"])
+                        groups.setdefault(key, []).append(bi)
+
+                outs_by_bi: dict[int, dict] = {}
+                with wall.stage("device"), \
+                        self.stage_timer.stage("genotype_device"):
+                    for key in sorted(groups):
+                        members = groups[key]
+                        parts = [payloads[bi].pairs for bi in members]
+                        regs = [
+                            np.concatenate(
+                                [c.regions for c in payloads[bi].components]
+                            )
+                            for bi in members
+                        ]
+                        qs = np.concatenate([p["qs"] for p in parts])
+                        qus = np.concatenate([p["qus"] for p in parts])
+                        qlens = np.concatenate([p["qlens"] for p in parts])
+                        ts = np.concatenate([p["ts"] for p in parts])
+                        tlens = np.concatenate([p["tlens"] for p in parts])
+                        regions = np.concatenate(regs)
+                        outs = genotyper.run_evidence_arrays(
+                            qs, qus, qlens, ts, tlens, regions,
+                            pair_chunk=self.pair_chunk,
+                        )
+                        off = 0
+                        for bi in members:
+                            n = payloads[bi].pairs["qs"].shape[0]
+                            outs_by_bi[bi] = {
+                                k: v[off : off + n] for k, v in outs.items()
+                            }
+                            off += n
+
+                # ---- phase C: assemble + store ---------------------------
+                pending_rows: list[tuple[int, PackedWindow, object, dict]] = []
+                with wall.stage("phase_c"):
+                    for bi, payload in enumerate(payloads):
+                        if payload.components is None:
+                            continue
+                        wouts = outs_by_bi.get(bi)
+                        for comp in payload.components:
+                            comp_outs = {
+                                k: v[comp.pair_start : comp.pair_stop]
+                                for k, v in (wouts or {}).items()
+                            }
+                            n = comp.pair_stop - comp.pair_start
+                            pair_meta = [
+                                (int(comp.meta_r[i]), int(comp.meta_h[i]),
+                                 comp.regions[i],
+                                 comp.vis_table[comp.meta_vis[i]])
+                                for i in range(n)
+                            ]
+                            with self.stage_timer.stage("assemble_evidence"):
+                                geno = genotyper.assemble_evidence(
+                                    payload.reads, comp.variants, pair_meta,
+                                    comp_outs,
+                                )
+                            for vi, variant in enumerate(comp.variants):
+                                supports = geno.get(vi)
+                                if not supports:
+                                    continue
+                                if not any(
+                                    s.total_alt_cov() > 0
+                                    for s in supports.values()
+                                ):
+                                    continue
+                                pending_rows.append(
+                                    (bi, payload, variant, supports)
+                                )
+
+                    pls_tables = self._device_pl_tables(pending_rows, devices)
+
+                    per_window_calls: dict[int, list[VariantCall]] = {}
+                    for row_idx, (bi, payload, variant, supports) in enumerate(
+                        pending_rows
+                    ):
+                        per_window_calls.setdefault(bi, []).append(
+                            VariantCall(
+                                variant, supports, payload.sample_summaries,
+                                payload.window.length,
+                                window_index=payload.window.genome_index,
+                                pls_lookup=pls_tables.get(row_idx),
+                            )
+                        )
+
+                    for bi, payload in enumerate(payloads):
+                        code = payload.status
+                        calls = per_window_calls.get(bi, [])
+                        if payload.components is not None:
+                            code = (
+                                StatusCode.FOUND_GENOTYPED_VARIANT
+                                if calls
+                                else StatusCode.MISSING_NO_MSA_VARIANTS
+                            )
+                        self.status_counts[code] = (
+                            self.status_counts.get(code, 0) + 1
+                        )
+                        if calls:
+                            self.store.add_variants(calls)
+                        num_done += 1
+
+                # windows are processed in genomic batch order: everything
+                # before the next batch's first window is final
+                if next_batch is not None:
+                    w = next_batch[0]
+                    with wall.stage("flush"):
+                        flushed += self.store.flush_before_pos(
+                            w.chrom_index, w.start1, out
+                        )
+                    if self.checkpoint is not None:
+                        self.checkpoint.save(w.chrom_index, w.start1, num_done)
+                rate = num_done / (time.monotonic() - t_start)
+                LOG.info("batch %d-%d done (%.2f win/s)",
+                         lo, lo + len(batch) - 1, rate)
+                cur_batch, cur_seqs = next_batch, next_seqs
+                next_batch = (
+                    next(batch_iter, None) if cur_batch is not None else None
                 )
-            # overlap: next batch's host prep runs while this batch is on device
-            if next_batch is not None:
-                pending = prefetch(bidx + 1, next_batch)
-
-            # ---- phase B: fused evidence DP over the whole batch ---------
-            from lancet2_tpu.base.dna import encode
-
-            all_q, all_qu, all_t, all_meta = [], [], [], []
-            spans = []  # (bi, ci, start, stop) pair-index spans per component
-            comp_data = []  # (bi, ci, reads, variants, pair_meta_local)
-            with wall.stage("build_pairs"):
-                for bi, item in enumerate(prepared_items):
-                    if item is None:
-                        continue
-                    prepared, _code = item
-                    if not isinstance(prepared, PreparedWindow):
-                        continue
-                    for ci, pc in enumerate(prepared.components):
-                        hap_codes = [encode(h) for h in pc.hap_seqs]
-                        pq, pqu, pt, pm = genotyper.build_evidence_pairs(
-                            hap_codes, prepared.reads, pc.variants,
-                            anchor_pos1=pc.anchor_pos1,
-                            band_margin=self.band_margin,
-                        )
-                        spans.append((bi, ci, len(all_q), len(all_q) + len(pq)))
-                        comp_data.append((bi, ci, prepared, pc, pm))
-                        all_q.extend(pq)
-                        all_qu.extend(pqu)
-                        all_t.extend(pt)
-                        all_meta.extend(pm)
-
-            outs = None
-            if all_q:
-                old_chunk = genotyper_mod._PAIR_CHUNK
-                genotyper_mod._PAIR_CHUNK = self.pair_chunk
-                try:
-                    with self.stage_timer.stage("genotype_device"), \
-                            wall.stage("device"):
-                        outs = genotyper.run_evidence_pairs(
-                            all_q, all_qu, all_t, all_meta
-                        )
-                finally:
-                    genotyper_mod._PAIR_CHUNK = old_chunk
-
-            # ---- phase C: assemble + store -------------------------------
-            # collect (variant, supports) rows first so the DM PL math of the
-            # WHOLE window batch goes to the device as one dispatch per
-            # allele-count K (reference budget: genotype_likelihood.cpp,
-            # 0.2% CPU — on TPU it rides the already-open device stream).
-            pending_rows: list[tuple[int, object, object, dict]] = []
-            with wall.stage("phase_c"):
-                for (bi, ci, prepared, pc, pm), (_sbi, _sci, start, stop) in zip(
-                    comp_data, spans
-                ):
-                    comp_outs = {k: v[start:stop] for k, v in (outs or {}).items()}
-                    with self.stage_timer.stage("assemble_evidence"):
-                        geno = genotyper.assemble_evidence(
-                            prepared.reads, pc.variants, pm, comp_outs
-                        )
-                    for vi, variant in enumerate(pc.variants):
-                        supports = geno.get(vi)
-                        if not supports:
-                            continue
-                        if not any(
-                            s.total_alt_cov() > 0 for s in supports.values()
-                        ):
-                            continue
-                        pending_rows.append((bi, prepared, variant, supports))
-
-                pls_tables = self._device_pl_tables(pending_rows, devices)
-
-                per_window_calls: dict[int, list[VariantCall]] = {}
-                for row_idx, (bi, prepared, variant, supports) in enumerate(
-                    pending_rows
-                ):
-                    per_window_calls.setdefault(bi, []).append(
-                        VariantCall(
-                            variant, supports, prepared.sample_summaries,
-                            prepared.window.length,
-                            window_index=prepared.window.genome_index,
-                            pls_lookup=pls_tables.get(row_idx),
-                        )
-                    )
-
-                for bi, item in enumerate(prepared_items):
-                    if item is None:
-                        continue
-                    prepared, code = item
-                    calls = per_window_calls.get(bi, [])
-                    if isinstance(prepared, PreparedWindow):
-                        code = (
-                            StatusCode.FOUND_GENOTYPED_VARIANT
-                            if calls
-                            else StatusCode.MISSING_NO_MSA_VARIANTS
-                        )
-                    self.status_counts[code] = self.status_counts.get(code, 0) + 1
-                    if calls:
-                        self.store.add_variants(calls)
-                    num_done += 1
-
-            # windows are processed in genomic batch order: everything before
-            # the next batch's first window is final
-            if next_batch is not None:
-                w = next_batch[0]
-                with wall.stage("flush"):
-                    flushed += self.store.flush_before_pos(
-                        w.chrom_index, w.start1, out
-                    )
-                if self.checkpoint is not None:
-                    self.checkpoint.save(w.chrom_index, w.start1, num_done)
-            rate = num_done / (time.monotonic() - t_start)
-            LOG.info("batch %d-%d done (%.2f win/s)", lo, lo + len(batch) - 1, rate)
-            cur_batch = next_batch
-            bidx += 1
-            next_batch = next(batch_iter, None) if cur_batch is not None else None
+                next_seqs = (
+                    enqueue(next_batch) if next_batch is not None else None
+                )
+        finally:
+            self._stop_prep_workers()
 
         flushed += self.store.flush_all(out)
         runtime = time.monotonic() - t_start

@@ -44,6 +44,15 @@ class Reference:
                 self._chroms.append(info)
                 self._by_name[name] = info
         self._fh = hts_open(path, "rb")
+        self._fh_pid = os.getpid()
+
+    def _file(self):
+        """Fork-safe handle: a forked child shares the parent's seek offset
+        (same OS open-file description), so each process reopens its own."""
+        if os.getpid() != self._fh_pid:
+            self._fh = hts_open(self.path, "rb")
+            self._fh_pid = os.getpid()
+        return self._fh
 
     def list_chroms(self) -> list[ChromInfo]:
         return list(self._chroms)
@@ -64,8 +73,9 @@ class Reference:
         start0, end0 = start1 - 1, end1  # half-open 0-based
         first = info.offset + (start0 // info.line_bases) * info.line_width + start0 % info.line_bases
         last = info.offset + ((end0 - 1) // info.line_bases) * info.line_width + (end0 - 1) % info.line_bases
-        self._fh.seek(first)
-        raw = self._fh.read(last - first + 1)
+        fh = self._file()
+        fh.seek(first)
+        raw = fh.read(last - first + 1)
         return raw.replace(b"\n", b"").replace(b"\r", b"").decode("ascii").upper()
 
     def make_region(self, chrom: str, start1: int, end1: int) -> "Region":

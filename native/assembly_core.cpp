@@ -339,12 +339,18 @@ struct AlignScratch {
 };
 
 // One pair. Returns score; fills t_start/t_end, cigar run arrays.
+// band_w > 0 (global mode only) restricts each row to the parallelogram
+// j - i in [min(0, Lt-Lq) - w, max(0, Lt-Lq) + w]. Any path leaving that
+// band carries > w gap bases beyond the required length difference, so its
+// score is <= match*min(Lq,Lt) - (w+1)*min_extend; when the banded optimum
+// beats that bound the banded result (score AND traceback) is bit-identical
+// to the full DP — the caller checks the certificate and falls back.
 void align_one(const uint8_t* q, int64_t Lq, const uint8_t* t, int64_t Lt,
                int64_t match, int64_t mismatch, int64_t q1, int64_t e1,
                int64_t q2_in, int64_t e2_in, int dual, int free_ends,
                AlignScratch& S, int64_t* out_score, int64_t* out_tstart,
                int64_t* out_tend, int32_t* cigar_ops, int32_t* cigar_lens,
-               int64_t max_cigar, int64_t* out_ncigar) {
+               int64_t max_cigar, int64_t* out_ncigar, int64_t band_w = 0) {
   int64_t q2 = dual ? q2_in : q1, e2 = dual ? e2_in : e1;
   S.H_prev.assign(Lt + 1, 0);
   S.V1_prev.assign(Lt + 1, NEG_INF);
@@ -363,6 +369,10 @@ void align_one(const uint8_t* q, int64_t Lq, const uint8_t* t, int64_t Lt,
     }
   }
 
+  const int64_t D = Lt - Lq;
+  const int64_t blo_off = (D < 0 ? D : 0) - band_w;   // j - i lower bound
+  const int64_t bhi_off = (D > 0 ? D : 0) + band_w;   // j - i upper bound
+
   for (int64_t i = 1; i <= Lq; ++i) {
     int64_t qi = q[i - 1];
     // column-0 H of this row (identical formula in both modes,
@@ -370,9 +380,15 @@ void align_one(const uint8_t* q, int64_t Lq, const uint8_t* t, int64_t Lt,
     int64_t col0_h = -(q1 + e1 * i);
     if (dual) col0_h = std::max(col0_h, -(q2 + e2 * i));
 
+    int64_t jlo = 1, jhi = Lt;
+    if (band_w > 0) {
+      jlo = std::max<int64_t>(1, i + blo_off);
+      jhi = std::min<int64_t>(Lt, i + bhi_off);
+    }
+
     uint8_t* drow = S.dirs.data() + (size_t)(i - 1) * Lt;
     // first sweep: diag + vertical, H_tmp stored in H_row[1..Lt]
-    for (int64_t j = 1; j <= Lt; ++j) {
+    for (int64_t j = jlo; j <= jhi; ++j) {
       int64_t tj = t[j - 1];
       int64_t sub = (qi >= 4 || tj >= 4) ? 0 : (qi == tj ? match : -mismatch);
       int64_t diag = S.H_prev[j - 1] + sub;
@@ -395,18 +411,22 @@ void align_one(const uint8_t* q, int64_t Lq, const uint8_t* t, int64_t Lt,
 
     // horizontal gaps: running max over C[k] = Htmp_full[k-1] + e*k
     // (Htmp_full[0] = col0_h), F[j] = run - (q+e) - e*(j-1) - e
-    int64_t run1 = col0_h + e1;  // C1 at k=1
-    int64_t run2 = col0_h + e2;
+    // banded: sources left of the band are NEG_INF (any path using them is
+    // out-of-band; the caller's certificate covers it)
+    int64_t run1 = (jlo == 1) ? col0_h + e1 : NEG_INF;  // C1 at k=1
+    int64_t run2 = (jlo == 1) ? col0_h + e2 : NEG_INF;
     int64_t prevF1 = 0, prevF2 = 0;
-    for (int64_t j = 1; j <= Lt; ++j) {
-      if (j > 1) {
+    for (int64_t j = jlo; j <= jhi; ++j) {
+      if (j > jlo) {
         run1 = std::max(run1, S.H_tmp[j - 1] + e1 * j);
         if (dual) run2 = std::max(run2, S.H_tmp[j - 1] + e2 * j);
       }
       int64_t f1 = run1 - (q1 + e1) - e1 * (j - 1) - e1;
       int64_t f2 = dual ? run2 - (q2 + e2) - e2 * (j - 1) - e2 : NEG_INF;
-      // extension bits use UNclamped F values (affine_dp.py:158-164)
-      if (j > 1) {
+      // extension bits use UNclamped F values (affine_dp.py:158-164).
+      // j > jlo (not j > 1): the first band column's left F is unknown —
+      // an F-extension through it is out-of-band, certificate-covered.
+      if (j > jlo) {
         if (f1 == prevF1 - e1) drow[j - 1] |= 1 << 5;
         if (dual && f2 == prevF2 - e2) drow[j - 1] |= 1 << 6;
       }
@@ -430,6 +450,12 @@ void align_one(const uint8_t* q, int64_t Lq, const uint8_t* t, int64_t Lt,
     S.H_row[0] = col0_h;
     S.V1_row[0] = NEG_INF;
     S.V2_row[0] = NEG_INF;
+    if (band_w > 0 && jhi < Lt) {
+      // next row's band extends one column right: it reads these cells
+      S.H_row[jhi + 1] = NEG_INF;
+      S.V1_row[jhi + 1] = NEG_INF;
+      S.V2_row[jhi + 1] = NEG_INF;
+    }
     std::swap(S.H_prev, S.H_row);
     std::swap(S.V1_prev, S.V1_row);
     std::swap(S.V2_prev, S.V2_row);
@@ -1155,10 +1181,31 @@ int64_t l2t_align_batch(
     int32_t* cigar_ops, int32_t* cigar_lens, int64_t max_cigar,
     int64_t* n_cigars) {
   AlignScratch S;
+  const int64_t BAND_W = 96;
   for (int64_t b = 0; b < B; ++b) {
-    align_one(queries + b * Lq, q_lens[b], targets + b * Lt, t_lens[b],
-              match, mismatch, q1, e1, q2, e2, dual, free_ends, S,
-              scores + b, tstarts + b, tends + b,
+    const uint8_t* qb = queries + b * Lq;
+    const uint8_t* tb = targets + b * Lt;
+    int64_t lq = q_lens[b], lt = t_lens[b];
+    // global mode: banded first with an exactness certificate. Any path
+    // leaving the band uses > BAND_W gap bases beyond the length
+    // difference, scoring <= match*min(lq,lt) - (BAND_W+1)*min_extend;
+    // a banded optimum above that bound is bit-identical to full DP
+    // (score AND traceback — see align_one). Below it, rerun full.
+    int64_t D = lt - lq;
+    int64_t span = (D > 0 ? D : -D) + 2 * BAND_W + 1;
+    bool try_band = !free_ends && span < lt && lq > 0 && lt > 0;
+    if (try_band) {
+      align_one(qb, lq, tb, lt, match, mismatch, q1, e1, q2, e2, dual,
+                free_ends, S, scores + b, tstarts + b, tends + b,
+                cigar_ops + b * max_cigar, cigar_lens + b * max_cigar,
+                max_cigar, n_cigars + b, BAND_W);
+      int64_t min_e = dual ? std::min(e1, e2) : e1;
+      int64_t bound =
+          match * std::min(lq, lt) - (BAND_W + 1) * min_e;
+      if (scores[b] > bound) continue;  // certified exact
+    }
+    align_one(qb, lq, tb, lt, match, mismatch, q1, e1, q2, e2, dual,
+              free_ends, S, scores + b, tstarts + b, tends + b,
               cigar_ops + b * max_cigar, cigar_lens + b * max_cigar,
               max_cigar, n_cigars + b);
   }
