@@ -235,34 +235,56 @@ def bench_span_kernel():
 
 
 def bench_graph_build():
-    """Device k-mer graph-construction pass (ops/graph_tpu.py) at a
-    realistic window shape: ref 2 kb + 1024 reads of 151 bp, k=25.
-    Reports windows/s of the construction pass alone (the reference's
-    Graph::BuildGraph is 23.4% cumulative CPU)."""
-    import jax
-
+    """Tape-packed BATCHED device graph construction (ops/graph_tape.py):
+    64 windows per dispatch, each ref 1 kb + 640 reads of 151 bp, k=13 (the
+    first-k shape that dominates production). Reports amortized windows/s
+    of the full construction pass including host pack + materialize (the
+    reference's Graph::BuildGraph is 23.4% cumulative CPU)."""
     from lancet2_tpu.base.hashing import hash_str64
-    from lancet2_tpu.ops.graph_tpu import build_graph_device
+    from lancet2_tpu.cbdg.graph import Graph, GraphParams
+    from lancet2_tpu.ops.graph_tape import build_graphs_tape
 
     rng = np.random.default_rng(3)
-    S, L, k = 1024, 151, 25
-    ref = rng.integers(0, 4, 2001).astype(np.uint8)
-    seqs = [ref] + [rng.integers(0, 4, L).astype(np.uint8) for _ in range(S)]
-    quals = [None] + [np.full(L, 35, np.uint8) for _ in range(S)]
-    meta = [(1, -1, 0, 0)] + [
-        (4 if i % 2 else 2, i % 2, 4 if i % 2 else 2,
-         hash_str64(f"r{i}") & 0xFFFFFFFFFFFFFFFF)
-        for i in range(S)
-    ]
+    W, S, L, k = 64, 640, 151, 13
+    batch = []
+    for w in range(W):
+        ref = rng.integers(0, 4, 1001).astype(np.uint8)
+        # reads sampled FROM the ref (plus errors) like real data — random
+        # reads would make nearly every k-mer unique and nothing survive
+        starts = rng.integers(0, 1001 - L, S)
+        seqs = [ref] + [ref[s : s + L].copy() for s in starts]
+        for s in seqs[1:]:
+            n_err = rng.poisson(0.5)
+            for p in rng.integers(0, L, n_err):
+                s[p] = (s[p] + 1) % 4
+        quals = [None] + [np.full(L, 35, np.uint8) for _ in range(S)]
+        meta = [(1, -1, 0, 0)] + [
+            (4 if i % 2 else 2, i % 2, 4 if i % 2 else 2,
+             hash_str64(f"w{w}r{i}") & 0xFFFFFFFFFFFFFFFF)
+            for i in range(S)
+        ]
+        batch.append((seqs, quals, meta))
+
+    g = Graph(GraphParams(num_samples=2, build_backend="device"))
+    g.curr_k = k
+
+    def run_batch():
+        outs = build_graphs_tape(batch, k, 2)
+        total_nodes = 0
+        for (seqs, _q, meta), out in zip(batch, outs):
+            g._materialize_tape_window(out, seqs, meta, k, 2)
+            total_nodes += len(g.nodes)
+        return total_nodes
+
     t0 = time.perf_counter()
-    out = build_graph_device(seqs, quals, meta, k, 2)
+    nodes = run_batch()
     compile_s = time.perf_counter() - t0
-    K = 8
+    K = 4
     t0 = time.perf_counter()
     for _ in range(K):
-        out = build_graph_device(seqs, quals, meta, k, 2)
+        nodes = run_batch()
     per = (time.perf_counter() - t0) / K
-    return 1.0 / per, per, compile_s, int(out["ids"].size)
+    return W / per, per / W, compile_s, nodes
 
 
 def bench_window_step():
@@ -310,7 +332,11 @@ def main():
     _enable_compile_cache()
     device = jax.devices()[0]
 
-    ref_kb = int(os.environ.get("LANCET2_BENCH_E2E_KB", "100"))
+    # chr-scale default (~1 Mb => ~1,240 windows): per-run fixed costs
+    # (coordinator spawn + BAM decode + first-batch fill) amortize to noise
+    # and bucket diversity / flush cadence actually engage (round-3 verdict
+    # asked for the headline from a >=1 Mb run)
+    ref_kb = int(os.environ.get("LANCET2_BENCH_E2E_KB", "1000"))
     threads = int(os.environ.get("LANCET2_BENCH_THREADS", "8"))
     s1, s2, fx = bench_e2e_pipeline(ref_kb, threads)
     win_per_s = s2.get("windows_per_s", 0.0)

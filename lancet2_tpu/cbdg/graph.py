@@ -475,6 +475,8 @@ class Graph:
 
         backend = getattr(self.params, "build_backend", "auto")
         if backend == "device":
+            if self._build_graph_tape(seqs, seq_quals, seq_meta, k, num_samples):
+                return
             if self._build_graph_xla(seqs, seq_quals, seq_meta, k, num_samples):
                 return
         elif backend != "numpy":
@@ -596,6 +598,78 @@ class Graph:
                     continue  # endpoint pre-pruned
                 # Edge kind derives from the *stored* node signs — the sign each
                 # node was first created with (reference: graph.cpp:333-336).
+                kind = make_kind(s_node.sign, d_node.sign)
+                fwd = Edge(int(s_id), int(d_id), kind)
+                s_node.emplace_edge(fwd)
+                d_node.emplace_edge(fwd.mirror())
+
+    def _build_graph_tape(self, seqs, seq_quals, seq_meta, k: int,
+                          num_samples: int) -> bool:
+        """Tape-packed batched device pass (ops/graph_tape.py) — the
+        production XLA backend: one compiled shape per (k, row bucket)
+        regardless of window geometry, compact device outputs. Bit-exact
+        twin of _build_graph_xla / the numpy path (tests/test_graph_tape)."""
+        try:
+            from lancet2_tpu.ops.graph_tape import build_graphs_tape
+        except Exception:
+            return False
+
+        outs = build_graphs_tape([(seqs, seq_quals, seq_meta)], k, num_samples)
+        self._materialize_tape_window(outs[0], seqs, seq_meta, k, num_samples)
+        return True
+
+    def _materialize_tape_window(self, out, seqs, seq_meta, k, num_samples):
+        """Host materialization of one window's compact tape-pass output."""
+        self.nodes = {}
+        self.ref_node_ids = []
+        if out is None:
+            self.all_built_ids = set()
+            return
+
+        ids = out["ids"]
+        counts = out["counts"]
+        roles = out["roles"]
+        signs = out["signs"]
+        labels = out["labels"]
+
+        if seq_meta and seq_meta[0][0] == LABEL_REFERENCE:
+            self.ref_node_ids = [
+                int(ids[r]) if r >= 0 else 0 for r in out["ref_rows"]
+            ]
+        self.all_built_ids = set(int(i) for i in ids)
+
+        totals = counts.sum(axis=1)
+        all_singleton = (counts > 0).any(axis=1) & (counts <= 1).all(axis=1)
+        survives = (~all_singleton) & (totals >= self.params.min_node_cov)
+
+        order = np.argsort(out["first_ord"], kind="stable")
+        for ui in order:
+            if not survives[ui]:
+                continue
+            nid = int(ids[ui])
+            node = Node(
+                nid,
+                np.ascontiguousarray(out["codes"][ui]),
+                int(signs[ui]),
+                int(labels[ui]),
+                num_samples,
+            )
+            node.counts = counts[ui].astype(np.int64)
+            node.role_counts = [int(roles[ui, 0]), int(roles[ui, 1])]
+            self.nodes[nid] = node
+
+        edges = out["edges"]
+        if len(edges):
+            src_ids = ids[edges[:, 0]]
+            dst_ids = ids[edges[:, 1]]
+            pk = np.empty(src_ids.size, dtype=[("s", "u8"), ("d", "u8")])
+            pk["s"] = src_ids
+            pk["d"] = dst_ids
+            for s_id, d_id in np.unique(pk):
+                s_node = self.nodes.get(int(s_id))
+                d_node = self.nodes.get(int(d_id))
+                if s_node is None or d_node is None:
+                    continue
                 kind = make_kind(s_node.sign, d_node.sign)
                 fwd = Edge(int(s_id), int(d_id), kind)
                 s_node.emplace_edge(fwd)

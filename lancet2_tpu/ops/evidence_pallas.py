@@ -85,13 +85,31 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
     log_steps = max(1, int(np.ceil(np.log2(Lt))))
     NEG = np.int32(NEG_INF)
 
-    # bank = dict of planes: val [B,Lt] i32; start, nm [B,Lt] i32;
-    # per region r: qv, aligned, minbq (i32), raw, pbq, match (f32)
-    RKEYS_I = ("qv", "aligned", "minbq")
-    RKEYS_F = ("raw", "pbq", "match")
+    # bank = dict of planes: val [B,Lt] i32; snt [B,Lt] i32 = the packed
+    # (nm << SN) + (start << 1) + taint companion plane — one plane instead
+    # of three rides every shift/select/descent step (the descent's
+    # per-plane shifts are the kernel's dominant VPU cost). Field ops stay
+    # exact: nm/start/taint always move under the SAME selector, additions
+    # target non-overlapping fields, and the F-prime's transiently negative
+    # nm lives in the TOP field so its borrow never reaches lower bits
+    # (two's-complement; final nm = src_nm + gap_len >= 0 before unpack).
+    # Per region r: qv, aligned, minbq (i32), raw, pbq, match (f32).
+    SB = max(1, int(np.ceil(np.log2(Lt + 2))))   # start field bits
+    SS = 1                                        # start field offset
+    SN = 1 + SB                                   # nm field offset
+    assert SN + int(np.ceil(np.log2(Lq + Lt + 1))) + 1 <= 31, (Lq, Lt)
 
-    def bank_like(val, start, nm, reg):
-        return {"val": val, "start": start, "nm": nm, **reg}
+    def pack_snt(start, nm):
+        return (nm << SN) + (start << SS)
+
+    def unpack_start(snt):
+        return (snt >> SS) & ((1 << SB) - 1)
+
+    def unpack_nm(snt):
+        return snt >> SN
+
+    def unpack_taint(snt):
+        return snt & 1
 
     def sel_bank(cond, A, B):
         return {k: jnp.where(cond, A[k], B[k]) for k in A}
@@ -147,11 +165,11 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
                 d[f"match{r}"] = jnp.zeros((B, Lt), jnp.float32)
             return d
 
-        H0 = bank_like(
-            jnp.zeros((B, Lt), jnp.int32), col_ids + 1,
-            jnp.zeros((B, Lt), jnp.int32), zero_reg(),
-        )
-        H0["taint"] = jnp.zeros((B, Lt), jnp.int32)
+        H0 = {
+            "val": jnp.zeros((B, Lt), jnp.int32),
+            "snt": pack_snt(col_ids + 1, jnp.zeros((B, Lt), jnp.int32)),
+            **zero_reg(),
+        }
         V0 = dict(H0)
         V0["val"] = jnp.full((B, Lt), NEG, jnp.int32)
         F0 = dict(H0)
@@ -160,9 +178,9 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             """Column-0 accumulator scalars of row i ([B,1] each)."""
             d = {
                 "val": jnp.broadcast_to(jnp.int32(-(go)) - ge * i, (B, 1)),
-                "start": jnp.zeros((B, 1), jnp.int32),
-                "nm": jnp.broadcast_to(i.astype(jnp.int32), (B, 1)),
-                "taint": jnp.zeros((B, 1), jnp.int32),
+                "snt": jnp.broadcast_to(
+                    i.astype(jnp.int32) << SN, (B, 1)
+                ),
             }
             for r in range(R):
                 d[f"qv{r}"] = jnp.full((B, 1), -1, jnp.int32)
@@ -197,7 +215,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             ).astype(jnp.int32)
             db = shift_bank(Hb, c0_prev)
             db["val"] = db["val"] + sub
-            db["nm"] = db["nm"] + (1 - eq.astype(jnp.int32))
+            db["snt"] = db["snt"] + ((1 - eq.astype(jnp.int32)) << SN)
             subf = sub.astype(jnp.float32)
             for r in range(R):
                 ird = in_reg_d[r]
@@ -217,7 +235,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             use_ext = v_ext >= v_open
             vb = sel_bank(use_ext, Vb, Hb)
             vb["val"] = jnp.maximum(v_open, v_ext)
-            vb["nm"] = vb["nm"] + 1
+            vb["snt"] = vb["snt"] + (1 << SN)
             for r in range(R):
                 ins = ins_in[r]
                 vb[f"aligned{r}"] = vb[f"aligned{r}"] + ins.astype(jnp.int32)
@@ -247,7 +265,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             # ---- descent: fetch companions from the gap-open column -------
             fb = shift_bank(tb, c0_cur)
             del fb["val"]
-            fb["nm"] = fb["nm"] - col_ids            # prime: ints exact
+            fb["snt"] = fb["snt"] - (col_ids << SN)  # nm prime: ints exact
             for r in range(R):
                 # pref0 at the source column rides the descent so overlap
                 # adds replicate the XLA engine's float op order exactly.
@@ -261,10 +279,10 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
                     fb[k] = jnp.where(take, _shift_right(fb[k], s, 0), fb[k])
                 rem = rem - jnp.where(take, s, 0)
             fb["val"] = F_val
-            fb["nm"] = fb["nm"] + col_ids + 1
-            # capped descent fetched companions (incl. taint) from the wrong
-            # column: mark this cell's lineage corrupted
-            fb["taint"] = fb["taint"] | capped
+            fb["snt"] = fb["snt"] + ((col_ids + 1) << SN)
+            # capped descent fetched companions (incl. the packed taint bit)
+            # from the wrong column: mark this cell's lineage corrupted
+            fb["snt"] = fb["snt"] | capped
             c_src = col_ids - m                       # k*-1 (true, uncapped)
             for r in range(R):
                 overlap = pref_incl[r] - fb[f"pref{r}"]
@@ -322,12 +340,13 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             z = plane.dtype.type(0)
             return jnp.sum(jnp.where(pick_mask, plane, z), axis=1, keepdims=True)
 
+        snt_pick = pick(Fb["snt"])
         out_cols_i = {
             ICOL_SCORE: jnp.where(all_neg, NEG, best),
             ICOL_TEND: t_end,
-            ICOL_TSTART: pick(Fb["start"]),
-            ICOL_NM: pick(Fb["nm"]),
-            ICOL_OVF: pick(Fb["taint"]),
+            ICOL_TSTART: unpack_start(snt_pick),
+            ICOL_NM: unpack_nm(snt_pick),
+            ICOL_OVF: unpack_taint(snt_pick),
         }
         out_cols_f = {}
         for r in range(R):
