@@ -13,6 +13,25 @@ anchor-base prepending, VCF-parsimony normalization, multiallelic grouping
 by identical normalized ALT, per-haplotype local start bookkeeping, and the
 deterministic lexicographic ALT sort (reference: variant_extractor.cpp:22-233,
 variant_bubble.cpp).
+
+On per-base path weights (cbdg.Path.per_base_weights, the reference's
+Path::PerBaseWeights): the pseudo-MSA deliberately does NOT consume them,
+and this is observationally equivalent to the reference, provable from its
+source. In the reference the weights flow into exactly one call —
+spoa::Graph::AddAlignment(alignment, seq, len, weights)
+(caller/msa_builder.cpp:39) — where SPOA stores them on graph nodes/edges.
+Nothing downstream reads them back: the alignment of each haplotype is
+computed BEFORE AddAlignment by spoa::AlignmentEngine::Align, whose DP
+scores by node characters only (weights never enter the scoring);
+VariantExtractor walks the POA graph topology with per-haplotype pointers
+and reads no weights (variant_extractor.cpp has no weight access); and
+spoa's only weight consumer, Graph::GenerateConsensus, is never called
+anywhere in the reference pipeline. The weights therefore cannot change
+which variants are extracted or how they are placed — the MSA row content
+is a pure function of sequences + alignment parameters, which this module
+reproduces. Invariants that the POA formulation would otherwise protect
+(shared-indel placement/grouping inside tandem repeats) are pinned by
+tests/test_divergence_contracts.py.
 """
 
 from __future__ import annotations

@@ -6,6 +6,7 @@ Reference: src/lancet/cli/cli_interface.cpp:144-316, pipeline_runner.cpp.
 from __future__ import annotations
 
 import argparse
+import os
 import resource
 import sys
 import time
@@ -127,7 +128,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(hts/filter_expr.py; reference: htslib hts_filter)")
     pl.add_argument("--stream-bam", action="store_true",
                     help="BAI-indexed streaming BAM access (bounded memory "
-                         "for multi-GB inputs; builds the .bai when missing)")
+                         "for multi-GB inputs; builds the .bai when missing). "
+                         "Auto-enabled when any input exceeds "
+                         "LANCET2_STREAM_BAM_THRESHOLD_GB (default 2); "
+                         "--no-stream-bam forces whole-file decode")
+    pl.add_argument("--no-stream-bam", action="store_true",
+                    help="force in-memory whole-file decode regardless of size")
     pl.add_argument("--no-active-region", action="store_true")
     pl.add_argument("--no-contig-check", action="store_true")
     pl.add_argument("--stream-windows", choices=["auto", "on", "off"], default="auto",
@@ -247,6 +253,25 @@ def run_pipeline(args, command_line: str) -> dict:
                         f"{length} != reference {ref_lens[name]} "
                         "(use --no-contig-check to bypass)"
                     )
+
+    # streaming auto-select: whole-file decode of multi-GB inputs is not a
+    # survivable memory posture (reference streams via htslib BAI,
+    # hts/extractor.h:53-121); above the threshold the BAI-backed streaming
+    # reader becomes the default unless --no-stream-bam forces it off
+    if not args.stream_bam and not args.no_stream_bam:
+        thresh_gb = float(os.environ.get("LANCET2_STREAM_BAM_THRESHOLD_GB", "2"))
+        big = [
+            s.path for s in samples
+            if os.path.exists(s.path)
+            and os.path.getsize(s.path) > thresh_gb * (1 << 30)
+        ]
+        if big:
+            LOG.info("input(s) over %.1f GB (%s): streaming BAM access "
+                     "auto-enabled (--no-stream-bam to override)",
+                     thresh_gb, ", ".join(os.path.basename(p) for p in big))
+            args.stream_bam = True
+    if args.no_stream_bam:
+        args.stream_bam = False
 
     # MD-tag probe: active-region prescan needs MD or X CIGAR ops; if the
     # first sample lacks MD tags, force --no-active-region (reference:

@@ -105,14 +105,10 @@ class BatchPipelineExecutor:
     # prep backends
     # ------------------------------------------------------------------
     def _use_processes(self) -> bool:
+        # streaming readers are fork-safe: their block caches reopen the
+        # file per PID (hts/bai.py _LruBlockCache._file), so forked workers
+        # never share a seek offset
         if self.prep_mode == "threads":
-            return False
-        # streaming readers keep live file handles whose seek offsets would
-        # be shared across forked children — threads only
-        if getattr(self.params.collector, "stream_bam", False):
-            if self.prep_mode == "processes":
-                LOG.warning("--prep-mode processes is incompatible with "
-                            "--stream-bam; using threads")
             return False
         if self.prep_mode == "processes":
             return True

@@ -251,10 +251,31 @@ def build_bai(bam_path: str, out_path: str | None = None) -> str:
 
 
 class _LruBlockCache:
-    def __init__(self, fh, capacity: int = 512):
+    def __init__(self, fh, capacity: int = 512, path: str | None = None):
+        import os
+
         self._fh = fh
+        self._path = path or getattr(fh, "name", None)
+        self._pid = os.getpid()
         self._cap = capacity
         self._cache: OrderedDict[int, tuple[bytes, int]] = OrderedDict()
+
+    def _file(self):
+        """Fork-safe handle: a forked child shares the parent's seek offset
+        (same OS open-file description) — each process reopens its own.
+        Cached inflated blocks are immutable and stay valid across forks."""
+        import os
+
+        if os.getpid() != self._pid:
+            if self._path is None:
+                raise RuntimeError(
+                    "streaming reader used after fork without a reopenable path"
+                )
+            from lancet2_tpu.hts.uri import hts_open
+
+            self._fh = hts_open(self._path, "rb")
+            self._pid = os.getpid()
+        return self._fh
 
     def block_at(self, coffset: int) -> tuple[bytes, int]:
         """(inflated payload, next block's coffset)."""
@@ -262,11 +283,12 @@ class _LruBlockCache:
         if hit is not None:
             self._cache.move_to_end(coffset)
             return hit
-        self._fh.seek(coffset)
-        data = bgzf._read_block(self._fh)
+        fh = self._file()
+        fh.seek(coffset)
+        data = bgzf._read_block(fh)
         if data is None:
             data = b""
-        entry = (data, self._fh.tell())
+        entry = (data, fh.tell())
         self._cache[coffset] = entry
         if len(self._cache) > self._cap:
             self._cache.popitem(last=False)
@@ -334,7 +356,7 @@ class BamStreamReader:
                  cache_blocks: int = 512):
         self.path = path
         self._fh = hts_open(path, "rb")
-        self._cache = _LruBlockCache(self._fh, cache_blocks)
+        self._cache = _LruBlockCache(self._fh, cache_blocks, path=path)
         buf = bytearray()
         coffset = 0
         while True:

@@ -131,6 +131,32 @@ class TestPipelineWithStreaming:
 
         assert records(out_str) == records(out_mem)
 
+    def test_stream_bam_batch_executor_process_prep(self, fixture, tmp_path):
+        """Streaming readers through the batch executor with FORK process
+        prep workers: the per-PID block-cache reopen (hts/bai.py
+        _LruBlockCache._file) must keep forked workers from sharing a seek
+        offset — records must match the in-memory threads run exactly."""
+        import gzip
+
+        from lancet2_tpu.cli.main import main as cli_main
+
+        out_mem = str(tmp_path / "bmem.vcf.gz")
+        out_str = str(tmp_path / "bstr.vcf.gz")
+        base = ["pipeline", "-n", fixture["normal"], "-t", fixture["tumor"],
+                "-r", fixture["fasta"], "-T", "2", "-R",
+                f"{fixture['chrom']}:20000-28000", "--executor", "batch"]
+        assert cli_main(base + ["-o", out_mem, "--prep-mode", "threads"]) == 0
+        assert cli_main(base + ["-o", out_str, "--stream-bam",
+                                "--prep-mode", "processes"]) == 0
+
+        def records(p):
+            with gzip.open(p, "rt") as fh:
+                return [l for l in fh if not l.startswith("#")]
+
+        # fixture plants no variants: the identity of the (possibly empty)
+        # record sets and clean exits are the contract here
+        assert records(out_str) == records(out_mem)
+
 
 class TestCsiIndex:
     def test_reg2bin_csi_matches_bai_at_default_params(self):
