@@ -700,6 +700,106 @@ class Genotyper:
         inv[order] = np.arange(len(order))
         return {k: np.concatenate(v)[inv] for k, v in outs.items()}
 
+    def assemble_evidence_packed(self, reads, variants, comp, outs):
+        """Phase 3 over a PackedComponent (core/prep_worker.py): the gate /
+        overlap / field math runs vectorized over all pairs; Python touches
+        only the surviving candidates (measured ~16% of pairs). Result- and
+        ORDER-identical to assemble_evidence on the tuple form: candidates
+        iterate in (pair, slot) order — the same nesting as the scalar
+        loops — so best-per-(read,variant) tie-breaks match exactly, and
+        evidence rows append per read in read order."""
+        n = comp.pair_stop - comp.pair_start
+        result: dict[int, dict[str, VariantSupport]] = {}
+        if n == 0:
+            return result
+        meta_r, meta_h, meta_vis = comp.meta_r, comp.meta_h, comp.meta_vis
+        regions = comp.regions
+        score = np.asarray(outs["score"])
+        t_start = np.asarray(outs["t_start"])
+        t_end = np.asarray(outs["t_end"])
+        nm = np.asarray(outs["nm"])
+
+        n_reads = len(reads)
+        read_len = np.fromiter((r.length for r in reads), np.int64, n_reads)
+        min_score = (self.min_score_frac * read_len).astype(np.int64)
+        pm = (score >= min_score[meta_r]) & (t_end > t_start)
+
+        # per-read NM baseline from the first REF-haplotype pair
+        baseline = read_len.copy()
+        sel = np.flatnonzero(meta_h == REF_HAP_IDX)
+        if sel.size:
+            ur, ui = np.unique(meta_r[sel], return_index=True)
+            ridx = sel[ui]
+            ok = pm[ridx]
+            baseline[ur[ok]] = nm[ridx[ok]]
+
+        active = regions[:, :, 1] > regions[:, :, 0]
+        ov = ((regions[:, :, 1] > t_start[:, None])
+              & (regions[:, :, 0] < t_end[:, None]) & active)
+        pi, si = np.nonzero(ov & pm[:, None])
+        if pi.size == 0:
+            return result
+
+        aligned = np.asarray(outs["aligned"])[pi, si]
+        matches = np.asarray(outs["matches"])[pi, si]
+        identity = np.where(aligned > 0, matches / np.maximum(aligned, 1), 0.0)
+        raw = np.asarray(outs["raw"])[pi, si]
+        pbq = np.asarray(outs["pbq"])[pi, si]
+        min_bq = np.asarray(outs["min_bq"])[pi, si]
+        qv = np.maximum(np.asarray(outs["qv"])[pi, si], 0)
+        # int(float(score) - raw): trunc-toward-zero, matching the scalar int()
+        gscore = np.trunc(score[pi].astype(np.float64) - raw).astype(np.int64)
+        combined = gscore.astype(np.float64) + pbq * identity
+        rl = read_len[meta_r[pi]]
+        rel = np.where(rl > 0, qv / np.maximum(rl, 1), 0.5)
+        folded = np.minimum(rel, 1.0 - rel)
+        bq = np.where(min_bq == 255, 0, min_bq)
+        own_nm = nm[pi]
+        hap_of = meta_h[pi]
+        read_of = meta_r[pi]
+
+        # best-per-(read, variant): candidates already in (pair, slot)
+        # order == the scalar loops' nesting; dict updates keep insertion
+        # position, preserving the per-read variant iteration order
+        winners: dict[int, dict[int, tuple]] = {}
+        vis_table = comp.vis_table
+        for c in range(pi.size):
+            vt = vis_table[meta_vis[pi[c]]]
+            s = si[c]
+            if s >= len(vt):
+                continue  # inactive slot (regions row padded) — not a vis
+            vi, allele = vt[s]
+            per_read = winners.setdefault(int(read_of[c]), {})
+            prev = per_read.get(vi)
+            if prev is None or combined[c] > prev[0]:
+                per_read[vi] = (combined[c], c, allele)
+
+        for r in sorted(winners):
+            read = reads[r]
+            strand = STRAND_REV if read.is_reverse else STRAND_FWD
+            for vi, (comb, c, allele) in winners[r].items():
+                supports = result.setdefault(vi, {})
+                support = supports.setdefault(read.sample_name, VariantSupport())
+                support.add_evidence(
+                    ReadEvidence(
+                        insert_size=read.insert_size,
+                        alignment_start=read.start0,
+                        aln_score=float(comb),
+                        folded_read_pos=float(folded[c]),
+                        rname_hash=read.qname_hash & 0xFFFFFFFF,
+                        ref_nm=int(baseline[r]),
+                        own_hap_nm=int(own_nm[c]),
+                        assigned_haplotype_id=int(hap_of[c]),
+                        allele=int(allele),
+                        strand=strand,
+                        base_qual=int(bq[c]),
+                        map_qual=read.mapq,
+                        is_soft_clipped=read.is_soft_clipped,
+                        is_proper_pair=read.is_proper_pair,
+                    )
+                )
+        return result
+
     def assemble_evidence(self, reads, variants, pair_meta, outs):
         """Phase 3: per-read allele assignment + VariantSupport assembly."""
         # per-read assembly (mirrors the CIGAR-walk backend's logic)

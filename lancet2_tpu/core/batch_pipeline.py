@@ -372,16 +372,9 @@ class BatchPipelineExecutor:
                                 k: v[comp.pair_start : comp.pair_stop]
                                 for k, v in (wouts or {}).items()
                             }
-                            n = comp.pair_stop - comp.pair_start
-                            pair_meta = [
-                                (int(comp.meta_r[i]), int(comp.meta_h[i]),
-                                 comp.regions[i],
-                                 comp.vis_table[comp.meta_vis[i]])
-                                for i in range(n)
-                            ]
                             with self.stage_timer.stage("assemble_evidence"):
-                                geno = genotyper.assemble_evidence(
-                                    payload.reads, comp.variants, pair_meta,
+                                geno = genotyper.assemble_evidence_packed(
+                                    payload.reads, comp.variants, comp,
                                     comp_outs,
                                 )
                             for vi, variant in enumerate(comp.variants):
