@@ -76,7 +76,11 @@ def bench_e2e_pipeline(ref_kb: int, threads: int = 8):
         return run_pipeline(parsed, "bench " + " ".join(argv))
 
     _warm_executor_kernels()
-    run(region=f"{fx['chrom']}:1-12000")  # warmup: pipeline shapes end-to-end
+    # warmup region large enough to hit every shape bucket the full run
+    # dispatches (Lt buckets, R variants, PL group sizes): mid-run compiles
+    # previously landed in run 1 and halved its rate
+    warm_kb = min(ref_kb, 200)
+    run(region=f"{fx['chrom']}:1-{warm_kb * 1000}")
     s1 = run()
     s2 = run()
     return s1, s2, fx

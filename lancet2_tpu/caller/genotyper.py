@@ -98,13 +98,17 @@ class Genotyper:
     formulation; see ops/evidence_dp.py)."""
 
     def __init__(self, backend: str = "numpy", min_score_frac: float = 0.25,
-                 devices: list | None = None):
+                 devices: list | None = None, mesh=None):
         self.backend = backend
         self.min_score_frac = min_score_frac
         # multi-chip: evidence-DP chunks round-robin over these devices
         # (windows/pairs are embarrassingly parallel — per-device streams,
         # no collectives; record-identical to single-device, tested)
         self.devices = devices
+        # mesh set => pass-1 span runs as ONE shard_map dispatch per
+        # super-chunk over the mesh instead of per-device round-robin
+        # (parallel/evidence_spmd.py; byte-identical, dryrun-asserted)
+        self.mesh = mesh
 
     # ------------------------------------------------------------------
     # evidence-DP backend: no CIGARs anywhere. Split into three phases so
@@ -550,37 +554,50 @@ class Genotyper:
         n = qs.shape[0]
         devices = self.devices
 
-        # ---- pass 1: span kernel over every pair, all submits first ------
-        pend = []
-        for ci, lo in enumerate(range(0, n, chunk)):
-            hi = min(lo + chunk, n)
-            cqs, cqus, cql, cts, ctl, _creg = self._pad_chunk_arrays(
-                qs, qus, qlens, ts, tlens, regions, lo, hi, chunk
-            )
-            ctx = (
-                jax.default_device(devices[ci % len(devices)])
-                if devices
-                else contextlib.nullcontext()
-            )
-            with ctx:
-                iout, fout, B = span_pairs_submit(cqs, cqus, cql, cts, ctl)
-            pend.append((iout, fout, B, lo, hi))
-        for iout, _f, *_rest in pend:
-            iout.copy_to_host_async()
+        # ---- pass 1: span kernel over every pair -------------------------
+        # mesh path only when the batch fills at least one tile per device:
+        # tiny batches would pad D*B_TILE rows of dead work per dispatch
+        use_mesh = self.mesh is not None and n >= self.mesh.devices.size * 128
+        if use_mesh:
+            from lancet2_tpu.parallel.evidence_spmd import span_arrays_sharded
 
-        score = np.zeros(n, np.int64)
-        t_end = np.zeros(n, np.int64)
-        t_start = np.zeros(n, np.int64)
-        nm = np.zeros(n, np.int64)
-        tainted = np.zeros(n, bool)
-        for iout, fout, B, lo, hi in pend:
-            span = span_pairs_finalize(iout, fout, B)
-            m = hi - lo
-            score[lo:hi] = span["score"][:m]
-            t_end[lo:hi] = span["t_end"][:m]
-            t_start[lo:hi] = span["t_start"][:m]
-            nm[lo:hi] = span["nm"][:m]
-            tainted[lo:hi] = span["overflow"][:m]
+            span = span_arrays_sharded(self.mesh, qs, qus, qlens, ts, tlens)
+            score = span["score"].astype(np.int64)
+            t_end = span["t_end"].astype(np.int64)
+            t_start = span["t_start"].astype(np.int64)
+            nm = span["nm"].astype(np.int64)
+            tainted = span["overflow"].astype(bool)
+        else:
+            pend = []
+            for ci, lo in enumerate(range(0, n, chunk)):
+                hi = min(lo + chunk, n)
+                cqs, cqus, cql, cts, ctl, _creg = self._pad_chunk_arrays(
+                    qs, qus, qlens, ts, tlens, regions, lo, hi, chunk
+                )
+                ctx = (
+                    jax.default_device(devices[ci % len(devices)])
+                    if devices
+                    else contextlib.nullcontext()
+                )
+                with ctx:
+                    iout, fout, B = span_pairs_submit(cqs, cqus, cql, cts, ctl)
+                pend.append((iout, fout, B, lo, hi))
+            for iout, _f, *_rest in pend:
+                iout.copy_to_host_async()
+
+            score = np.zeros(n, np.int64)
+            t_end = np.zeros(n, np.int64)
+            t_start = np.zeros(n, np.int64)
+            nm = np.zeros(n, np.int64)
+            tainted = np.zeros(n, bool)
+            for iout, fout, B, lo, hi in pend:
+                span = span_pairs_finalize(iout, fout, B)
+                m = hi - lo
+                score[lo:hi] = span["score"][:m]
+                t_end[lo:hi] = span["t_end"][:m]
+                t_start[lo:hi] = span["t_start"][:m]
+                nm[lo:hi] = span["nm"][:m]
+                tainted[lo:hi] = span["overflow"][:m]
         active = regions[:, :, 1] > regions[:, :, 0]
         overlap = (
             (regions[:, :, 1] > t_start[:, None])

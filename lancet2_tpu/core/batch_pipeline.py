@@ -98,8 +98,16 @@ class BatchPipelineExecutor:
         self._threads: list = []
         self._work_q = None
         self._result_q = None
+        # results land here via a dedicated drain thread: worker->parent
+        # payloads are ~MB-scale and the mp.Queue pipe holds only ~64 KB,
+        # so if the parent read results only while waiting, workers would
+        # block on the pipe during the parent's whole device phase and
+        # prep/device overlap would collapse (measured: zero overlap at
+        # chr scale before the drain thread)
         self._results: dict[int, PackedWindow] = {}
-        self._errors: list = []
+        self._results_cv = threading.Condition()
+        self._drain_thread = None
+        self._drain_error = None
 
     # ------------------------------------------------------------------
     # prep backends
@@ -138,6 +146,7 @@ class BatchPipelineExecutor:
             )
             p.start()
             self._procs.append(p)
+            self._start_drain_thread()
             LOG.info("prep: spawned coordinator + %d fork worker(s)", n)
             return
 
@@ -176,6 +185,7 @@ class BatchPipelineExecutor:
             t = threading.Thread(target=thread_main, daemon=True)
             t.start()
             self._threads.append(t)
+        self._start_drain_thread()
         LOG.info("prep: %d worker thread(s)", n)
 
     def _stop_prep_workers(self):
@@ -193,18 +203,40 @@ class BatchPipelineExecutor:
                 p.terminate()
         self._procs = []
         self._threads = []
+        if self._drain_thread is not None:
+            self._result_q.put(self._DRAIN_STOP)
+            self._drain_thread.join(timeout=30)
+            self._drain_thread = None
+
+    _DRAIN_STOP = ("__drain_stop__", None, None)
+
+    def _start_drain_thread(self):
+        def drain():
+            while True:
+                item = self._result_q.get()
+                if item[0] == "__drain_stop__":
+                    return
+                seq, kind, payload = item
+                with self._results_cv:
+                    if kind in ("error", "fatal"):
+                        self._drain_error = payload
+                    else:
+                        self._results[seq] = payload
+                    self._results_cv.notify_all()
+
+        self._drain_thread = threading.Thread(target=drain, daemon=True)
+        self._drain_thread.start()
 
     def _wait_for(self, seqs: list[int]) -> list[PackedWindow]:
         """Block until every seq in `seqs` has a payload; returns in order."""
-        want = set(seqs) - set(self._results)
-        while want:
-            seq, kind, payload = self._result_q.get()
-            if kind in ("error", "fatal"):
-                msg, tb = payload
-                raise RuntimeError(f"prepare failed: {msg}\n{tb}")
-            self._results[seq] = payload
-            want.discard(seq)
-        return [self._results.pop(s) for s in seqs]
+        with self._results_cv:
+            while True:
+                if self._drain_error is not None:
+                    msg, tb = self._drain_error
+                    raise RuntimeError(f"prepare failed: {msg}\n{tb}")
+                if all(s in self._results for s in seqs):
+                    return [self._results.pop(s) for s in seqs]
+                self._results_cv.wait(timeout=1.0)
 
     def _batches(self):
         """Yield window batches from the list or the streaming iterator."""
@@ -284,7 +316,16 @@ class BatchPipelineExecutor:
         devices = self.devices if self.devices is not None else (
             list(jax.devices()) if on_device else None
         )
-        genotyper = Genotyper(backend="evidence", devices=devices)
+        # multi-chip: the pass-1 span stream goes out as ONE shard_map
+        # dispatch per super-chunk over a 1-D windows mesh (SPMD over ICI)
+        # instead of per-device Python round-robin; single chip keeps the
+        # plain dispatch path
+        mesh = None
+        if devices is not None and len(devices) > 1:
+            from lancet2_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(devices)
+        genotyper = Genotyper(backend="evidence", devices=devices, mesh=mesh)
 
         flushed = 0
         num_done = 0
@@ -301,16 +342,26 @@ class BatchPipelineExecutor:
             return seqs
 
         try:
-            batch_iter = self._batches()
-            cur_batch = next(batch_iter, None)
-            if cur_batch is None:
-                return {"windows": 0, "flushed": 0}
-            cur_seqs = enqueue(cur_batch)
-            next_batch = next(batch_iter, None)
-            next_seqs = enqueue(next_batch) if next_batch is not None else None
+            from collections import deque
 
-            while cur_batch is not None:
-                batch = cur_batch
+            batch_iter = self._batches()
+            pending: deque = deque()
+            LOOKAHEAD = 3  # batches in flight so workers never starve
+
+            def top_up():
+                while len(pending) < LOOKAHEAD:
+                    b = next(batch_iter, None)
+                    if b is None:
+                        return
+                    pending.append((b, enqueue(b)))
+
+            top_up()
+            if not pending:
+                return {"windows": 0, "flushed": 0}
+
+            while pending:
+                batch, cur_seqs = pending.popleft()
+                top_up()  # keep the prep pipeline full before waiting
                 lo = batch[0].genome_index
                 with wall.stage("prep_wait"):
                     payloads = self._wait_for(cur_seqs)
@@ -423,8 +474,8 @@ class BatchPipelineExecutor:
 
                 # windows are processed in genomic batch order: everything
                 # before the next batch's first window is final
-                if next_batch is not None:
-                    w = next_batch[0]
+                if pending:
+                    w = pending[0][0][0]
                     with wall.stage("flush"):
                         flushed += self.store.flush_before_pos(
                             w.chrom_index, w.start1, out
@@ -434,13 +485,6 @@ class BatchPipelineExecutor:
                 rate = num_done / (time.monotonic() - t_start)
                 LOG.info("batch %d-%d done (%.2f win/s)",
                          lo, lo + len(batch) - 1, rate)
-                cur_batch, cur_seqs = next_batch, next_seqs
-                next_batch = (
-                    next(batch_iter, None) if cur_batch is not None else None
-                )
-                next_seqs = (
-                    enqueue(next_batch) if next_batch is not None else None
-                )
         finally:
             self._stop_prep_workers()
 

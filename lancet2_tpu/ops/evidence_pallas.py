@@ -85,19 +85,27 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
     log_steps = max(1, int(np.ceil(np.log2(Lt))))
     NEG = np.int32(NEG_INF)
 
-    # bank = dict of planes: val [B,Lt] i32; snt [B,Lt] i32 = the packed
-    # (nm << SN) + (start << 1) + taint companion plane — one plane instead
-    # of three rides every shift/select/descent step (the descent's
-    # per-plane shifts are the kernel's dominant VPU cost). Field ops stay
-    # exact: nm/start/taint always move under the SAME selector, additions
-    # target non-overlapping fields, and the F-prime's transiently negative
-    # nm lives in the TOP field so its borrow never reaches lower bits
-    # (two's-complement; final nm = src_nm + gap_len >= 0 before unpack).
+    # bank = dict of planes: val [B,Lt] i32; start/nm/taint companions —
+    # either three separate i32 planes (default) or ONE packed plane
+    # snt = (nm << SN) + (start << 1) + taint when LANCET2_PACKED_SNT=1.
+    # Packing is bit-exact (interpret-mode parity suite covers both): the
+    # fields always move under the same selector, additions target
+    # disjoint bit ranges, and the F-prime's transiently negative nm lives
+    # in the TOP field so its borrow never reaches lower bits. It cuts the
+    # descent's dominant per-plane shift cost (3 planes -> 1 on the span
+    # kernel) but is OPT-IN: the first packed Mosaic compile through the
+    # TPU tunnel was observed to wedge the remote compiler for 50+ minutes
+    # (round-4 notes), so the default stays on the proven layout until the
+    # compile pathology is understood.
     # Per region r: qv, aligned, minbq (i32), raw, pbq, match (f32).
+    import os
+
+    packed = os.environ.get("LANCET2_PACKED_SNT", "0") == "1"
     SB = max(1, int(np.ceil(np.log2(Lt + 2))))   # start field bits
     SS = 1                                        # start field offset
     SN = 1 + SB                                   # nm field offset
-    assert SN + int(np.ceil(np.log2(Lq + Lt + 1))) + 1 <= 31, (Lq, Lt)
+    if packed:
+        assert SN + int(np.ceil(np.log2(Lq + Lt + 1))) + 1 <= 31, (Lq, Lt)
 
     def pack_snt(start, nm):
         return (nm << SN) + (start << SS)
@@ -165,11 +173,20 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
                 d[f"match{r}"] = jnp.zeros((B, Lt), jnp.float32)
             return d
 
-        H0 = {
-            "val": jnp.zeros((B, Lt), jnp.int32),
-            "snt": pack_snt(col_ids + 1, jnp.zeros((B, Lt), jnp.int32)),
-            **zero_reg(),
-        }
+        if packed:
+            H0 = {
+                "val": jnp.zeros((B, Lt), jnp.int32),
+                "snt": pack_snt(col_ids + 1, jnp.zeros((B, Lt), jnp.int32)),
+                **zero_reg(),
+            }
+        else:
+            H0 = {
+                "val": jnp.zeros((B, Lt), jnp.int32),
+                "start": col_ids + 1,
+                "nm": jnp.zeros((B, Lt), jnp.int32),
+                "taint": jnp.zeros((B, Lt), jnp.int32),
+                **zero_reg(),
+            }
         V0 = dict(H0)
         V0["val"] = jnp.full((B, Lt), NEG, jnp.int32)
         F0 = dict(H0)
@@ -178,10 +195,15 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             """Column-0 accumulator scalars of row i ([B,1] each)."""
             d = {
                 "val": jnp.broadcast_to(jnp.int32(-(go)) - ge * i, (B, 1)),
-                "snt": jnp.broadcast_to(
-                    i.astype(jnp.int32) << SN, (B, 1)
-                ),
             }
+            if packed:
+                d["snt"] = jnp.broadcast_to(
+                    i.astype(jnp.int32) << SN, (B, 1)
+                )
+            else:
+                d["start"] = jnp.zeros((B, 1), jnp.int32)
+                d["nm"] = jnp.broadcast_to(i.astype(jnp.int32), (B, 1))
+                d["taint"] = jnp.zeros((B, 1), jnp.int32)
             for r in range(R):
                 d[f"qv{r}"] = jnp.full((B, 1), -1, jnp.int32)
                 d[f"aligned{r}"] = jnp.where(in0_l[r], i, 0)
@@ -215,7 +237,10 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             ).astype(jnp.int32)
             db = shift_bank(Hb, c0_prev)
             db["val"] = db["val"] + sub
-            db["snt"] = db["snt"] + ((1 - eq.astype(jnp.int32)) << SN)
+            if packed:
+                db["snt"] = db["snt"] + ((1 - eq.astype(jnp.int32)) << SN)
+            else:
+                db["nm"] = db["nm"] + (1 - eq.astype(jnp.int32))
             subf = sub.astype(jnp.float32)
             for r in range(R):
                 ird = in_reg_d[r]
@@ -235,7 +260,10 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             use_ext = v_ext >= v_open
             vb = sel_bank(use_ext, Vb, Hb)
             vb["val"] = jnp.maximum(v_open, v_ext)
-            vb["snt"] = vb["snt"] + (1 << SN)
+            if packed:
+                vb["snt"] = vb["snt"] + (1 << SN)
+            else:
+                vb["nm"] = vb["nm"] + 1
             for r in range(R):
                 ins = ins_in[r]
                 vb[f"aligned{r}"] = vb[f"aligned{r}"] + ins.astype(jnp.int32)
@@ -250,8 +278,7 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
 
             # ---- F values: packed value+earliest-source prefix max --------
             base = _shift1_blk(tb["val"], c0_cur["val"])  # H_tmp_full cols 0..Lt-1
-            packed = ((base + ramp + (1 << 17)) << 13) + (Lt - 1 - col_ids)
-            run = packed
+            run = ((base + ramp + (1 << 17)) << 13) + (Lt - 1 - col_ids)
             for s in range(log_steps):
                 run = jnp.maximum(run, _shift_right(run, 1 << s, 0))
             k_star = Lt - (run & ((1 << 13) - 1))
@@ -265,7 +292,10 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             # ---- descent: fetch companions from the gap-open column -------
             fb = shift_bank(tb, c0_cur)
             del fb["val"]
-            fb["snt"] = fb["snt"] - (col_ids << SN)  # nm prime: ints exact
+            if packed:
+                fb["snt"] = fb["snt"] - (col_ids << SN)  # nm prime: exact
+            else:
+                fb["nm"] = fb["nm"] - col_ids            # prime: ints exact
             for r in range(R):
                 # pref0 at the source column rides the descent so overlap
                 # adds replicate the XLA engine's float op order exactly.
@@ -279,10 +309,13 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
                     fb[k] = jnp.where(take, _shift_right(fb[k], s, 0), fb[k])
                 rem = rem - jnp.where(take, s, 0)
             fb["val"] = F_val
-            fb["snt"] = fb["snt"] + ((col_ids + 1) << SN)
-            # capped descent fetched companions (incl. the packed taint bit)
-            # from the wrong column: mark this cell's lineage corrupted
-            fb["snt"] = fb["snt"] | capped
+            # capped descent fetched companions (incl. taint) from the
+            # wrong column: mark this cell's lineage corrupted
+            if packed:
+                fb["snt"] = (fb["snt"] + ((col_ids + 1) << SN)) | capped
+            else:
+                fb["nm"] = fb["nm"] + col_ids + 1
+                fb["taint"] = fb["taint"] | capped
             c_src = col_ids - m                       # k*-1 (true, uncapped)
             for r in range(R):
                 overlap = pref_incl[r] - fb[f"pref{r}"]
@@ -340,13 +373,21 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             z = plane.dtype.type(0)
             return jnp.sum(jnp.where(pick_mask, plane, z), axis=1, keepdims=True)
 
-        snt_pick = pick(Fb["snt"])
+        if packed:
+            snt_pick = pick(Fb["snt"])
+            tstart_out = unpack_start(snt_pick)
+            nm_out = unpack_nm(snt_pick)
+            ovf_out = unpack_taint(snt_pick)
+        else:
+            tstart_out = pick(Fb["start"])
+            nm_out = pick(Fb["nm"])
+            ovf_out = pick(Fb["taint"])
         out_cols_i = {
             ICOL_SCORE: jnp.where(all_neg, NEG, best),
             ICOL_TEND: t_end,
-            ICOL_TSTART: unpack_start(snt_pick),
-            ICOL_NM: unpack_nm(snt_pick),
-            ICOL_OVF: unpack_taint(snt_pick),
+            ICOL_TSTART: tstart_out,
+            ICOL_NM: nm_out,
+            ICOL_OVF: ovf_out,
         }
         out_cols_f = {}
         for r in range(R):
