@@ -36,6 +36,7 @@ from lancet2_tpu.caller.variant_call import VariantCall
 from lancet2_tpu.core.prep_worker import (
     PackedWindow,
     coordinator_main,
+    map_pair_arrays,
     prepare_and_pack,
 )
 from lancet2_tpu.core.variant_builder import (
@@ -386,26 +387,37 @@ class BatchPipelineExecutor:
                         self.stage_timer.stage("genotype_device"):
                     for key in sorted(groups):
                         members = groups[key]
-                        parts = [payloads[bi].pairs for bi in members]
-                        regs = [
-                            np.concatenate(
-                                [c.regions for c in payloads[bi].components]
+                        qs_l, qus_l, ts_l, ql_l, tl_l = [], [], [], [], []
+                        regs, closers = [], []
+                        for bi in members:
+                            qs_i, qus_i, ts_i, ql_i, tl_i, closer = (
+                                map_pair_arrays(payloads[bi].pairs)
                             )
-                            for bi in members
-                        ]
-                        qs = np.concatenate([p["qs"] for p in parts])
-                        qus = np.concatenate([p["qus"] for p in parts])
-                        qlens = np.concatenate([p["qlens"] for p in parts])
-                        ts = np.concatenate([p["ts"] for p in parts])
-                        tlens = np.concatenate([p["tlens"] for p in parts])
+                            qs_l.append(qs_i)
+                            qus_l.append(qus_i)
+                            ts_l.append(ts_i)
+                            ql_l.append(ql_i)
+                            tl_l.append(tl_i)
+                            closers.append(closer)
+                            regs.append(np.concatenate(
+                                [c.regions for c in payloads[bi].components]
+                            ))
+                        qs = np.concatenate(qs_l)
+                        qus = np.concatenate(qus_l)
+                        ts = np.concatenate(ts_l)
+                        qlens = np.concatenate(ql_l)
+                        tlens = np.concatenate(tl_l)
                         regions = np.concatenate(regs)
+                        del qs_l, qus_l, ts_l, ql_l, tl_l
+                        for closer in closers:
+                            closer()  # shm consumed by the concatenation
                         outs = genotyper.run_evidence_arrays(
                             qs, qus, qlens, ts, tlens, regions,
                             pair_chunk=self.pair_chunk,
                         )
                         off = 0
                         for bi in members:
-                            n = payloads[bi].pairs["qs"].shape[0]
+                            n = payloads[bi].pairs["n_pairs"]
                             outs_by_bi[bi] = {
                                 k: v[off : off + n] for k, v in outs.items()
                             }

@@ -79,8 +79,71 @@ def _bucket(n: int, buckets) -> int:
     return n
 
 
+def _pair_array_layout(n: int, lq: int, lt: int):
+    """(offset, shape, dtype) table for one window's padded pair arrays
+    packed back-to-back in a shared-memory segment."""
+    specs = [
+        ("qs", (n, lq), np.uint8),
+        ("qus", (n, lq), np.uint8),
+        ("ts", (n, lt), np.uint8),
+        ("qlens", (n,), np.int64),
+        ("tlens", (n,), np.int64),
+    ]
+    out, off = [], 0
+    for name, shape, dt in specs:
+        size = int(np.prod(shape)) * np.dtype(dt).itemsize
+        out.append((name, off, shape, dt))
+        off += size
+    return out, off
+
+
+def _alloc_pair_arrays(n: int, lq: int, lt: int, use_shm: bool):
+    layout, total = _pair_array_layout(n, lq, lt)
+    if not use_shm:
+        arrays = tuple(np.empty(shape, dt) for _nm, _off, shape, dt in layout)
+        return arrays, None
+    from multiprocessing import shared_memory
+
+    shm = shared_memory.SharedMemory(create=True, size=max(total, 1))
+    arrays = tuple(
+        np.ndarray(shape, dt, buffer=shm.buf, offset=off)
+        for _nm, off, shape, dt in layout
+    )
+    return arrays, shm
+
+
+def map_pair_arrays(pairs: dict):
+    """Parent-side view of one window's pair arrays.
+
+    Returns (qs, qus, ts, qlens, tlens, closer) — `closer()` must run after
+    the arrays' contents have been consumed (the group concatenation
+    copies them), closing AND unlinking the shm segment."""
+    if "shm" not in pairs:
+        return (pairs["qs"], pairs["qus"], pairs["ts"], pairs["qlens"],
+                pairs["tlens"], lambda: None)
+    from multiprocessing import shared_memory
+
+    layout, _total = _pair_array_layout(
+        pairs["n_pairs"], pairs["lq_bucket"], pairs["lt_bucket"])
+    shm = shared_memory.SharedMemory(name=pairs["shm"])
+    arrays = tuple(
+        np.ndarray(shape, dt, buffer=shm.buf, offset=off)
+        for _nm, off, shape, dt in layout
+    )
+
+    def closer():
+        shm.close()
+        try:
+            shm.unlink()
+        except FileNotFoundError:
+            pass
+
+    return (*arrays, closer)
+
+
 def prepare_and_pack(builder, genotyper, window, band_margin,
-                     max_regions: int, lt_buckets, lq_buckets) -> PackedWindow:
+                     max_regions: int, lt_buckets, lq_buckets,
+                     use_shm: bool = False) -> PackedWindow:
     """Run phase A (gate/collect/assemble/extract/annotate) + pair building
     + padding for one window; returns the packed payload."""
     from lancet2_tpu.base.dna import encode
@@ -138,11 +201,11 @@ def prepare_and_pack(builder, genotyper, window, band_margin,
         if n_pairs:
             lq_b = _bucket(max(len(s) for s in all_q), lq_buckets)
             lt_b = _bucket(max(len(s) for s in all_t), lt_buckets)
-            qs = np.full((n_pairs, lq_b), 5, np.uint8)
-            qus = np.zeros((n_pairs, lq_b), np.uint8)
-            ts = np.full((n_pairs, lt_b), 5, np.uint8)
-            qlens = np.empty(n_pairs, np.int64)
-            tlens = np.empty(n_pairs, np.int64)
+            arrays, shm = _alloc_pair_arrays(n_pairs, lq_b, lt_b, use_shm)
+            qs, qus, ts, qlens, tlens = arrays
+            qs[:] = 5
+            qus[:] = 0
+            ts[:] = 5
             for i in range(n_pairs):
                 q = all_q[i]
                 qs[i, : len(q)] = q
@@ -152,10 +215,17 @@ def prepare_and_pack(builder, genotyper, window, band_margin,
                 qlens[i] = len(q)
                 tlens[i] = len(t)
             pairs = {
-                "qs": qs, "qus": qus, "qlens": qlens,
-                "ts": ts, "tlens": tlens,
+                "n_pairs": n_pairs,
                 "lq_bucket": lq_b, "lt_bucket": lt_b,
             }
+            if shm is not None:
+                # zero-copy to the parent: only the segment name crosses the
+                # queue (a padded pair block is ~MB-scale; pickling it would
+                # burn a core-second per ~700 windows on each side)
+                pairs["shm"] = shm.name
+                shm.close()
+            else:
+                pairs.update(qs=qs, qus=qus, qlens=qlens, ts=ts, tlens=tlens)
 
         reads_lite = [
             ReadLite(
@@ -248,7 +318,7 @@ def process_worker_main(work_q, result_q, params, ref, samples, reader_pool,
             try:
                 payload = prepare_and_pack(
                     builder, genotyper, window, band_margin,
-                    max_regions, lt_buckets, lq_buckets,
+                    max_regions, lt_buckets, lq_buckets, use_shm=True,
                 )
                 result_q.put((seq, "ok", payload))
             except Exception as exc:  # report, then keep serving
