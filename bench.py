@@ -88,10 +88,10 @@ def bench_e2e_pipeline(ref_kb: int, threads: int = 8):
 
 def _warm_executor_kernels():
     """Compile every Mosaic kernel shape the executor run will dispatch
-    (R0 span @ pair_chunk, R1/R2 evidence @ pass-2 bucket): the tunnel
-    backend does not reuse persisted executables, and a shape that first
-    appears inside a timed run would poison it (observed: run1 at 0.37
-    win/s because the R=2@512 compile landed there)."""
+    (R0 span @ pair_chunk 8192, R1/R2 evidence @ pass-2 bucket 2048): the
+    tunnel backend does not reuse persisted executables, and a shape that
+    first appears inside a timed run would poison it (observed: run1 at
+    0.37 win/s because the R=2 compile landed there)."""
     import numpy as np
 
     from lancet2_tpu.ops.evidence_pallas import (
@@ -100,22 +100,22 @@ def _warm_executor_kernels():
     )
 
     rng = np.random.default_rng(0)
-    Lq, Lt = 160, 384
-    q = rng.integers(0, 4, (2048, Lq)).astype(np.uint8)
-    qu = np.full((2048, Lq), 35, np.uint8)
-    t = rng.integers(0, 4, (2048, Lt)).astype(np.uint8)
-    ql = np.full(2048, 125, np.int64)
-    tl = np.full(2048, 317, np.int64)
+    Lq, Lt, B, B2 = 160, 384, 8192, 2048
+    q = rng.integers(0, 4, (B, Lq)).astype(np.uint8)
+    qu = np.full((B, Lq), 35, np.uint8)
+    t = rng.integers(0, 4, (B, Lt)).astype(np.uint8)
+    ql = np.full(B, 125, np.int64)
+    tl = np.full(B, 317, np.int64)
     iout, _f, _b = span_pairs_submit(q, qu, ql, t, tl)
     np.asarray(iout)
-    reg = np.zeros((512, 4, 2), np.int32)
+    reg = np.zeros((B2, 4, 2), np.int32)
     reg[:, 0] = (100, 101)
-    iout, _f, _b, _r = evidence_pairs_submit(q[:512], qu[:512], ql[:512],
-                                             t[:512], tl[:512], reg)
+    iout, _f, _b, _r = evidence_pairs_submit(q[:B2], qu[:B2], ql[:B2],
+                                             t[:B2], tl[:B2], reg)
     np.asarray(iout)
     reg[:, 1] = (200, 201)
-    iout, _f, _b, _r = evidence_pairs_submit(q[:512], qu[:512], ql[:512],
-                                             t[:512], tl[:512], reg)
+    iout, _f, _b, _r = evidence_pairs_submit(q[:B2], qu[:B2], ql[:B2],
+                                             t[:B2], tl[:B2], reg)
     np.asarray(iout)
 
 

@@ -507,6 +507,10 @@ class Genotyper:
             return self._run_evidence_arrays_device(
                 qs, qus, qlens, ts, tlens, regions, chunk
             )
+        # host XLA-scan engine carries ~80 [B, Lt] planes: cap the chunk so
+        # the executor's tunnel-sized 8192-pair dispatches don't balloon
+        # host memory (the device kernel is VMEM-tiled and unaffected)
+        chunk = min(chunk, 2048)
         from lancet2_tpu.ops.evidence_dp import evidence_dp
 
         n = qs.shape[0]
@@ -623,11 +627,14 @@ class Genotyper:
         }
 
         # ---- pass 2: full evidence kernel on the needed subset -----------
+        # 2048-pair pass-2 chunks: each dispatch pays the tunnel round trip,
+        # and the pass-2 stream previously went out in 512-pair chunks (4x
+        # the dispatches for the same cells)
         if needed.size:
             sub = self._evidence_arrays_full(
                 qs[needed], qus[needed], qlens[needed],
                 ts[needed], tlens[needed], regions[needed],
-                chunk_size=min(chunk, 512),
+                chunk_size=min(chunk, 2048),
             )
             for k in outs:
                 outs[k][needed] = np.asarray(sub[k]).astype(

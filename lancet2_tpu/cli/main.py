@@ -396,10 +396,11 @@ def run_pipeline(args, command_line: str) -> dict:
         from lancet2_tpu.core.batch_pipeline import BatchPipelineExecutor
 
         # TPU phase B runs the Pallas evidence kernel (genotyper selects it
-        # by backend); 2048-pair chunks amortize the tunnel RTT per dispatch
+        # by backend); 8192-pair span chunks amortize the tunnel RTT per
+        # dispatch (pass-2 evidence chunks cap at 2048 inside the genotyper)
         executor = BatchPipelineExecutor(
             params, ref, samples, windows, num_workers=args.num_threads,
-            pair_chunk=2048,
+            pair_chunk=8192,
             checkpoint=ckpt,
             min_emit_pos=min_emit_pos,
             total_hint=expected_windows if stream_windows else None,

@@ -105,6 +105,16 @@ def _alloc_pair_arrays(n: int, lq: int, lt: int, use_shm: bool):
     from multiprocessing import shared_memory
 
     shm = shared_memory.SharedMemory(create=True, size=max(total, 1))
+    try:
+        # ownership transfers to the executor (it unlinks after consuming);
+        # unregister from THIS process's resource tracker so worker exit
+        # doesn't spew "leaked shared_memory" warnings for segments the
+        # parent already reclaimed
+        from multiprocessing import resource_tracker
+
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
     arrays = tuple(
         np.ndarray(shape, dt, buffer=shm.buf, offset=off)
         for _nm, off, shape, dt in layout
