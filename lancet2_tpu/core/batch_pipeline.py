@@ -208,6 +208,21 @@ class BatchPipelineExecutor:
             self._result_q.put(self._DRAIN_STOP)
             self._drain_thread.join(timeout=30)
             self._drain_thread = None
+        # error/abort paths can leave unconsumed shm payloads (workers
+        # unregister from their resource tracker — the executor owns the
+        # unlink); reclaim anything still parked in the results dict
+        for payload in self._results.values():
+            pairs = getattr(payload, "pairs", None)
+            if pairs and "shm" in pairs:
+                try:
+                    from multiprocessing import shared_memory
+
+                    seg = shared_memory.SharedMemory(name=pairs["shm"])
+                    seg.close()
+                    seg.unlink()
+                except Exception:
+                    pass
+        self._results.clear()
 
     _DRAIN_STOP = ("__drain_stop__", None, None)
 
