@@ -48,6 +48,13 @@ _PAIR_CHUNK = 512
 # evidence kernel) — read by bench.py to derive the measured pass-2 fraction
 PASS2_STATS = {"total": 0, "pass2": 0}
 
+# SPMD coverage accounting: when a mesh is attached, every device phase
+# must go through shard_map — these count the plain-dispatch fallbacks the
+# mesh path still took (dryrun asserts they stay zero; the only legitimate
+# fallback is a sub-threshold batch, governed by SPMD_MIN_ROWS_PER_DEVICE)
+SPMD_MIN_ROWS_PER_DEVICE = 128
+MESH_FALLBACK_STATS = {"plain_span_with_mesh": 0, "plain_ev_with_mesh": 0}
+
 
 _TARGET_BUCKETS = (64, 128, 256, 384, 512, 768, 1024, 1280, 1536, 2048, 4096, 8192)
 _QUERY_BUCKETS = (160, 320, 640, 1280)
@@ -243,6 +250,97 @@ class Genotyper:
                     pair_q.append(codes)
                     pair_qu.append(qual)
         return pair_q, pair_qu, pair_t, pair_meta
+
+    def build_pair_indices(self, hap_lens, reads, variants,
+                           anchor_pos1: int, band_margin: int,
+                           max_regions: int):
+        """Indexed form of build_evidence_pairs for ONE component: no
+        per-pair sequence copies — pairs are (read_ix, hap_local,
+        band_start, t_len, shifted regions), fully vectorized. Pair order
+        is read-major then (hap, chunk), identical to the expanded builder
+        (bit-identity depends on it: best-per-(read, variant) tie-breaks
+        iterate pairs in order)."""
+        from lancet2_tpu.ops.evidence_dp import R_MAX
+
+        if band_margin is None:
+            band_margin = 1 << 30  # no banding: every pair gets the full hap
+        n_haps = len(hap_lens)
+        n_reads = len(reads)
+        # per-hap region chunks (same grouping as build_evidence_pairs)
+        hap_chunks: list[list[tuple[np.ndarray, list]]] = []
+        for h in range(n_haps):
+            carried = []
+            for vi, variant in enumerate(variants):
+                bounds = self._extract_hap_bounds(variant, h)
+                if bounds is not None:
+                    carried.append((vi, bounds[0], bounds[1], bounds[2]))
+            chunks = []
+            for off in range(0, max(len(carried), 1), max_regions):
+                group = carried[off : off + max_regions]
+                regions = np.zeros((R_MAX, 2), np.int32)
+                vis = []
+                for r, (vi, vs, vlen, allele) in enumerate(group):
+                    regions[r] = (vs, vs + vlen)
+                    vis.append((vi, allele))
+                chunks.append((regions, vis))
+            hap_chunks.append(chunks)
+
+        cols = [(h, ci) for h in range(n_haps)
+                for ci in range(len(hap_chunks[h]))]
+        C = len(cols)
+        if n_reads == 0 or C == 0:
+            z = np.zeros(0, np.int32)
+            return dict(read_ix=z, hap_local=z, band_start=z, tlens=z,
+                        regions=np.zeros((0, R_MAX, 2), np.int32),
+                        meta_vis=z, vis_table=[])
+
+        ro = np.fromiter(
+            (rd.start0 + 1 - anchor_pos1 for rd in reads), np.int64, n_reads
+        )
+        rlen = np.fromiter((rd.length for rd in reads), np.int64, n_reads)
+        bandw = rlen + 2 * band_margin
+        hl = np.asarray(hap_lens, np.int64)
+
+        # per (read, hap) band start + target length [n_reads, n_haps]
+        banded = bandw[:, None] < hl[None, :]
+        bs = np.clip(
+            ro[:, None] - band_margin, 0,
+            np.maximum(hl[None, :] - bandw[:, None], 0),
+        )
+        bs = np.where(banded, bs, 0).astype(np.int64)
+        tl = np.where(banded, bandw[:, None], hl[None, :]).astype(np.int64)
+
+        col_h = np.fromiter((h for h, _ci in cols), np.int64, C)
+        read_ix = np.repeat(np.arange(n_reads, dtype=np.int32), C)
+        hap_local = np.tile(col_h.astype(np.int32), n_reads)
+        band_start = bs[:, col_h].ravel().astype(np.int32)
+        tlens = tl[:, col_h].ravel().astype(np.int32)
+
+        # shifted regions per (col, read) -> (read-major, col) pair order
+        vis_table: list = []
+        meta_vis_col = np.empty(C, np.int32)
+        regs_by_col = np.empty((C, n_reads, R_MAX, 2), np.int32)
+        for j, (h, ci) in enumerate(cols):
+            regions, vis = hap_chunks[h][ci]
+            meta_vis_col[j] = len(vis_table)
+            vis_table.append(vis)
+            shifted = np.clip(
+                regions[None, :, :] - bs[:, h, None, None],
+                0, tl[:, h, None, None],
+            ).astype(np.int32)
+            inact = regions[:, 1] <= regions[:, 0]
+            shifted[:, inact, :] = 0
+            regs_by_col[j] = np.where(
+                banded[:, h, None, None], shifted, regions[None, :, :]
+            )
+        regions_all = regs_by_col.transpose(1, 0, 2, 3).reshape(
+            n_reads * C, R_MAX, 2
+        )
+        meta_vis = np.tile(meta_vis_col, n_reads)
+        return dict(read_ix=read_ix, hap_local=hap_local,
+                    band_start=band_start, tlens=tlens,
+                    regions=regions_all, meta_vis=meta_vis,
+                    vis_table=vis_table)
 
     def _chunk_inputs(self, pair_q, pair_qu, pair_t, pair_meta, lo, hi,
                       on_device: bool, pin_bucket: int | None = None):
@@ -650,6 +748,208 @@ class Genotyper:
             )
             for k in outs:
                 outs[k][host_rerun] = np.asarray(sub[k]).astype(
+                    outs[k].dtype, copy=False
+                )
+        return outs
+
+    # ------------------------------------------------------------------
+    # indexed phase 2 (the production device protocol): pools of unique
+    # reads/haps + per-pair indices instead of expanded rows — ~5x less
+    # tunnel traffic (ops/evidence_fused.py). Results are bit-identical to
+    # run_evidence_arrays on the expanded rows (parity-tested).
+    # ------------------------------------------------------------------
+    def run_evidence_indexed(self, pools: dict, pairs: dict,
+                             pair_chunk: int | None = None):
+        """pools: reads_q/reads_qu [NR, Lq] u8, read_lens [NR] i32,
+                  haps [NH, LH] u8
+        pairs: read_ix/hap_ix/band_start/tlens [n] i32,
+               regions [n, R_MAX, 2] i32 (band coordinates)."""
+        chunk = pair_chunk if pair_chunk is not None else _PAIR_CHUNK
+        if _on_device():
+            return self._run_evidence_indexed_device(pools, pairs, chunk)
+        from lancet2_tpu.ops.evidence_fused import expand_pairs_numpy
+
+        lt = int(pairs.get("lt_bucket") or _bucket(
+            int(np.max(pairs["tlens"], initial=1)), _TARGET_BUCKETS))
+        qs, qus, qlens, ts, tlens = expand_pairs_numpy(
+            pools["reads_q"], pools["reads_qu"], pools["read_lens"],
+            pools["haps"], pairs["read_ix"], pairs["hap_ix"],
+            pairs["band_start"], pairs["tlens"], lt,
+        )
+        return self.run_evidence_arrays(
+            qs, qus, qlens, ts, tlens, pairs["regions"], pair_chunk=chunk
+        )
+
+    def _run_evidence_indexed_device(self, pools: dict, pairs: dict,
+                                     chunk: int):
+        from lancet2_tpu.ops.evidence_dp import R_MAX
+        from lancet2_tpu.ops.evidence_fused import (
+            DevicePools,
+            evidence_indexed_submit,
+            expand_pairs_numpy,
+            span_indexed_submit,
+        )
+        from lancet2_tpu.ops.evidence_pallas import span_pairs_finalize
+
+        read_ix = np.asarray(pairs["read_ix"], np.int64)
+        hap_ix = np.asarray(pairs["hap_ix"], np.int64)
+        band_start = np.asarray(pairs["band_start"], np.int64)
+        tlens = np.asarray(pairs["tlens"], np.int64)
+        regions = np.asarray(pairs["regions"], np.int32)
+        n = len(read_ix)
+        lt = int(pairs.get("lt_bucket") or _bucket(
+            int(np.max(tlens, initial=1)), _DEVICE_TARGET_BUCKETS))
+
+        dev = DevicePools(pools["reads_q"], pools["reads_qu"],
+                          pools["read_lens"], pools["haps"],
+                          pools.get("hap_lens"))
+
+        # ---- pass 1: span over every pair (sharded when a mesh is set) ---
+        use_mesh = (self.mesh is not None
+                    and n >= self.mesh.devices.size * SPMD_MIN_ROWS_PER_DEVICE)
+        if self.mesh is not None and not use_mesh:
+            MESH_FALLBACK_STATS["plain_span_with_mesh"] += 1
+        if use_mesh:
+            from lancet2_tpu.parallel.evidence_spmd import (
+                span_indexed_sharded,
+            )
+
+            span = span_indexed_sharded(
+                self.mesh, dev, read_ix, hap_ix, band_start, tlens, lt
+            )
+            score = span["score"].astype(np.int64)
+            t_end = span["t_end"].astype(np.int64)
+            t_start = span["t_start"].astype(np.int64)
+            nm = span["nm"].astype(np.int64)
+            tainted = span["overflow"].astype(bool)
+        else:
+            pend = []
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                iout = span_indexed_submit(
+                    dev, read_ix[lo:hi], hap_ix[lo:hi], band_start[lo:hi],
+                    tlens[lo:hi], lt, chunk,
+                )
+                pend.append((iout, lo, hi))
+            for iout, *_rest in pend:
+                iout.copy_to_host_async()
+            score = np.zeros(n, np.int64)
+            t_end = np.zeros(n, np.int64)
+            t_start = np.zeros(n, np.int64)
+            nm = np.zeros(n, np.int64)
+            tainted = np.zeros(n, bool)
+            for iout, lo, hi in pend:
+                span = span_pairs_finalize(iout, None, hi - lo)
+                score[lo:hi] = span["score"]
+                t_end[lo:hi] = span["t_end"]
+                t_start[lo:hi] = span["t_start"]
+                nm[lo:hi] = span["nm"]
+                tainted[lo:hi] = span["overflow"]
+
+        active = regions[:, :, 1] > regions[:, :, 0]
+        overlap = (
+            (regions[:, :, 1] > t_start[:, None])
+            & (regions[:, :, 0] < t_end[:, None])
+            & active
+        ).any(axis=1)
+        qlens_all = dev.read_lens_host[read_ix].astype(np.int64)
+        min_scores = (self.min_score_frac * qlens_all).astype(np.int64)
+        pass_gate = (score >= min_scores) & (t_end > t_start)
+        needed = np.flatnonzero(pass_gate & overlap & ~tainted)
+        host_rerun = np.flatnonzero(tainted)
+        PASS2_STATS["total"] += n
+        PASS2_STATS["pass2"] += int(needed.size)
+
+        outs = {
+            "score": score, "t_end": t_end, "t_start": t_start, "nm": nm,
+            "qv": np.full((n, R_MAX), -1, np.int64),
+            "aligned": np.zeros((n, R_MAX), np.int64),
+            "min_bq": np.full((n, R_MAX), 255, np.int64),
+            "raw": np.zeros((n, R_MAX), np.float64),
+            "pbq": np.zeros((n, R_MAX), np.float64),
+            "matches": np.zeros((n, R_MAX), np.float64),
+        }
+
+        # ---- pass 2: full kernel over the needed subset, indices only ----
+        # stable partition by active-region count: 1-region pairs keep the
+        # cheaper R=1 kernel (same two warmed shapes as the expanded path)
+        if needed.size:
+            from lancet2_tpu.ops.evidence_pallas import (
+                evidence_pairs_finalize,
+                host_evidence_dp,
+            )
+
+            # R must cover the HIGHEST active slot index, not the count:
+            # band-clipping can empty a leading slot, leaving an active
+            # region at slot 1 of an otherwise 1-region pair
+            need_act = active[needed]
+            if need_act[:, 2:].any():
+                # defensive: >R_KERNEL_MAX active slots can't come from the
+                # device prep path — route to the exact host engine
+                over = need_act[:, 2:].any(axis=1)
+                host_rerun = np.union1d(host_rerun, needed[over])
+                needed = needed[~over]
+                need_act = need_act[~over]
+            r_need = np.where(need_act[:, 1], 2, 1)
+            cap = min(chunk, 2048)
+            pend2 = []
+            use_mesh2 = self.mesh is not None
+            for R, sel in ((1, needed[r_need == 1]), (2, needed[r_need == 2])):
+                if use_mesh2 and sel.size:
+                    from lancet2_tpu.parallel.evidence_spmd import (
+                        evidence_indexed_sharded,
+                    )
+
+                    reg8 = np.concatenate(
+                        [regions[sel, :, 0], regions[sel, :, 1]], axis=1
+                    )
+                    iout, fout = evidence_indexed_sharded(
+                        self.mesh, dev, read_ix[sel], hap_ix[sel],
+                        band_start[sel], tlens[sel], reg8, lt, R,
+                    )
+                    pend2.append((iout, fout, sel, R))
+                    continue
+                for lo in range(0, sel.size, cap):
+                    idx = sel[lo : lo + cap]
+                    reg8 = np.concatenate(
+                        [regions[idx, :, 0], regions[idx, :, 1]], axis=1
+                    )
+                    iout, fout = evidence_indexed_submit(
+                        dev, read_ix[idx], hap_ix[idx], band_start[idx],
+                        tlens[idx], reg8, lt, cap, R=R,
+                    )
+                    pend2.append((iout, fout, idx, R))
+            for iout, fout, *_rest in pend2:
+                iout.copy_to_host_async()
+                fout.copy_to_host_async()
+            extra_rerun = []
+            for iout, fout, idx, R in pend2:
+                sub = evidence_pairs_finalize(iout, fout, idx.size, R)
+                ovf = sub.pop("overflow")
+                if ovf.any():
+                    extra_rerun.append(idx[ovf])
+                for k in outs:
+                    outs[k][idx] = np.asarray(sub[k]).astype(
+                        outs[k].dtype, copy=False
+                    )
+            if extra_rerun:
+                host_rerun = np.union1d(
+                    host_rerun, np.concatenate(extra_rerun)
+                )
+
+        # tainted pairs rerun wholesale on the host XLA engine (bit-exact)
+        if host_rerun.size:
+            from lancet2_tpu.ops.evidence_pallas import host_evidence_dp
+
+            idx = np.asarray(host_rerun, np.int64)
+            qs, qus, qlens, ts, tl = expand_pairs_numpy(
+                pools["reads_q"], pools["reads_qu"], pools["read_lens"],
+                pools["haps"], read_ix[idx], hap_ix[idx],
+                band_start[idx], tlens[idx], lt,
+            )
+            sub = host_evidence_dp(qs, qus, qlens, ts, tl, regions[idx])
+            for k in outs:
+                outs[k][idx] = np.asarray(sub[k]).astype(
                     outs[k].dtype, copy=False
                 )
         return outs

@@ -244,7 +244,11 @@ class BatchPipelineExecutor:
         self._drain_thread.start()
 
     def _wait_for(self, seqs: list[int]) -> list[PackedWindow]:
-        """Block until every seq in `seqs` has a payload; returns in order."""
+        """Block until every seq in `seqs` has a payload; returns in order.
+
+        Fail-fast: raises on (a) a worker-reported error, (b) a coordinator
+        fatal (e.g. a killed worker, with the window seq it was processing),
+        or (c) silent coordinator death — never hangs on lost work."""
         with self._results_cv:
             while True:
                 if self._drain_error is not None:
@@ -253,6 +257,20 @@ class BatchPipelineExecutor:
                 if all(s in self._results for s in seqs):
                     return [self._results.pop(s) for s in seqs]
                 self._results_cv.wait(timeout=1.0)
+                if self._procs and not any(p.is_alive()
+                                           for p in self._procs):
+                    # give the drain thread one beat to surface a queued
+                    # fatal before declaring silent death
+                    self._results_cv.wait(timeout=1.0)
+                    if self._drain_error is not None:
+                        continue
+                    if all(s in self._results for s in seqs):
+                        continue
+                    missing = [s for s in seqs if s not in self._results]
+                    raise RuntimeError(
+                        "prep coordinator died without reporting; "
+                        f"windows (seq) never prepared: {missing[:8]}"
+                    )
 
     def _batches(self):
         """Yield window batches from the list or the streaming iterator."""
@@ -294,7 +312,11 @@ class BatchPipelineExecutor:
         with self.stage_timer.stage("genotype_pls_device"):
             for k, rows in by_k.items():
                 counts = np.array([r[2] for r in rows], np.int64)
-                pls = batched_genotype_pls_exact(counts, k)
+                # mesh set => PL rows shard over the devices (SPMD, no
+                # host round-robin); byte-identical either way
+                pls = batched_genotype_pls_exact(
+                    counts, k, mesh=getattr(self, "_mesh", None)
+                )
                 for (row_idx, sample_name, _c), pl_row in zip(rows, pls):
                     tables.setdefault(row_idx, {})[sample_name] = pl_row
         return tables
@@ -341,6 +363,7 @@ class BatchPipelineExecutor:
             from lancet2_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(devices)
+        self._mesh = mesh
         genotyper = Genotyper(backend="evidence", devices=devices, mesh=mesh)
 
         flushed = 0
@@ -402,33 +425,55 @@ class BatchPipelineExecutor:
                         self.stage_timer.stage("genotype_device"):
                     for key in sorted(groups):
                         members = groups[key]
-                        qs_l, qus_l, ts_l, ql_l, tl_l = [], [], [], [], []
+                        # concatenate the windows' read/hap POOLS with index
+                        # offsets — unique sequences ship once per group,
+                        # pairs are 4 i32 columns (ops/evidence_fused.py)
+                        pool_parts = {k: [] for k in (
+                            "reads_q", "reads_qu", "read_lens",
+                            "haps", "hap_lens")}
+                        ix_parts = {k: [] for k in (
+                            "read_ix", "hap_ix", "band_start", "tlens")}
                         regs, closers = [], []
+                        r_off = h_off = 0
+                        hap_w = max(payloads[bi].pairs["hap_w"]
+                                    for bi in members)
                         for bi in members:
-                            qs_i, qus_i, ts_i, ql_i, tl_i, closer = (
-                                map_pair_arrays(payloads[bi].pairs)
+                            arrays, closer = map_pair_arrays(
+                                payloads[bi].pairs
                             )
-                            qs_l.append(qs_i)
-                            qus_l.append(qus_i)
-                            ts_l.append(ts_i)
-                            ql_l.append(ql_i)
-                            tl_l.append(tl_i)
                             closers.append(closer)
+                            for k in ("reads_q", "reads_qu", "read_lens",
+                                      "hap_lens"):
+                                pool_parts[k].append(arrays[k])
+                            h = arrays["haps"]
+                            if h.shape[1] < hap_w:
+                                h = np.pad(
+                                    h, ((0, 0), (0, hap_w - h.shape[1])),
+                                    constant_values=5,
+                                )
+                            pool_parts["haps"].append(h)
+                            ix_parts["read_ix"].append(
+                                arrays["read_ix"] + r_off)
+                            ix_parts["hap_ix"].append(
+                                arrays["hap_ix"] + h_off)
+                            ix_parts["band_start"].append(
+                                arrays["band_start"])
+                            ix_parts["tlens"].append(arrays["tlens"])
+                            r_off += payloads[bi].pairs["n_reads"]
+                            h_off += payloads[bi].pairs["n_haps"]
                             regs.append(np.concatenate(
                                 [c.regions for c in payloads[bi].components]
                             ))
-                        qs = np.concatenate(qs_l)
-                        qus = np.concatenate(qus_l)
-                        ts = np.concatenate(ts_l)
-                        qlens = np.concatenate(ql_l)
-                        tlens = np.concatenate(tl_l)
-                        regions = np.concatenate(regs)
-                        del qs_l, qus_l, ts_l, ql_l, tl_l
+                        pools = {k: np.concatenate(v)
+                                 for k, v in pool_parts.items()}
+                        pairs = {k: np.concatenate(v)
+                                 for k, v in ix_parts.items()}
+                        pairs["regions"] = np.concatenate(regs)
+                        pairs["lt_bucket"] = key[1]
                         for closer in closers:
                             closer()  # shm consumed by the concatenation
-                        outs = genotyper.run_evidence_arrays(
-                            qs, qus, qlens, ts, tlens, regions,
-                            pair_chunk=self.pair_chunk,
+                        outs = genotyper.run_evidence_indexed(
+                            pools, pairs, pair_chunk=self.pair_chunk,
                         )
                         off = 0
                         for bi in members:

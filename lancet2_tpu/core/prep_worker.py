@@ -79,15 +79,22 @@ def _bucket(n: int, buckets) -> int:
     return n
 
 
-def _pair_array_layout(n: int, lq: int, lt: int):
-    """(offset, shape, dtype) table for one window's padded pair arrays
-    packed back-to-back in a shared-memory segment."""
+def _pair_array_layout(n: int, lq: int, nr: int, nh: int, lh: int):
+    """(offset, shape, dtype) table for one window's INDEXED pair arrays
+    packed back-to-back in a shared-memory segment: pools of unique reads
+    and haplotypes plus four i32 index columns per pair — ~5x smaller than
+    the round-4 expanded [n, Lq]/[n, Lt] layout (each read used to ship
+    once per haplotype x region-chunk)."""
     specs = [
-        ("qs", (n, lq), np.uint8),
-        ("qus", (n, lq), np.uint8),
-        ("ts", (n, lt), np.uint8),
-        ("qlens", (n,), np.int64),
-        ("tlens", (n,), np.int64),
+        ("reads_q", (nr, lq), np.uint8),
+        ("reads_qu", (nr, lq), np.uint8),
+        ("read_lens", (nr,), np.int32),
+        ("haps", (nh, lh), np.uint8),
+        ("hap_lens", (nh,), np.int32),
+        ("read_ix", (n,), np.int32),
+        ("hap_ix", (n,), np.int32),
+        ("band_start", (n,), np.int32),
+        ("tlens", (n,), np.int32),
     ]
     out, off = [], 0
     for name, shape, dt in specs:
@@ -97,10 +104,12 @@ def _pair_array_layout(n: int, lq: int, lt: int):
     return out, off
 
 
-def _alloc_pair_arrays(n: int, lq: int, lt: int, use_shm: bool):
-    layout, total = _pair_array_layout(n, lq, lt)
+def _alloc_pair_arrays(n: int, lq: int, nr: int, nh: int, lh: int,
+                       use_shm: bool):
+    layout, total = _pair_array_layout(n, lq, nr, nh, lh)
     if not use_shm:
-        arrays = tuple(np.empty(shape, dt) for _nm, _off, shape, dt in layout)
+        arrays = {nm: np.empty(shape, dt)
+                  for nm, _off, shape, dt in layout}
         return arrays, None
     from multiprocessing import shared_memory
 
@@ -115,31 +124,35 @@ def _alloc_pair_arrays(n: int, lq: int, lt: int, use_shm: bool):
         resource_tracker.unregister(shm._name, "shared_memory")
     except Exception:
         pass
-    arrays = tuple(
-        np.ndarray(shape, dt, buffer=shm.buf, offset=off)
-        for _nm, off, shape, dt in layout
-    )
+    arrays = {
+        nm: np.ndarray(shape, dt, buffer=shm.buf, offset=off)
+        for nm, off, shape, dt in layout
+    }
     return arrays, shm
 
 
-def map_pair_arrays(pairs: dict):
-    """Parent-side view of one window's pair arrays.
+_PAIR_KEYS = ("reads_q", "reads_qu", "read_lens", "haps", "hap_lens",
+              "read_ix", "hap_ix", "band_start", "tlens")
 
-    Returns (qs, qus, ts, qlens, tlens, closer) — `closer()` must run after
-    the arrays' contents have been consumed (the group concatenation
-    copies them), closing AND unlinking the shm segment."""
+
+def map_pair_arrays(pairs: dict):
+    """Parent-side view of one window's indexed pair arrays.
+
+    Returns (arrays_dict, closer) — `closer()` must run after the arrays'
+    contents have been consumed (the group concatenation copies them),
+    closing AND unlinking the shm segment."""
     if "shm" not in pairs:
-        return (pairs["qs"], pairs["qus"], pairs["ts"], pairs["qlens"],
-                pairs["tlens"], lambda: None)
+        return {k: pairs[k] for k in _PAIR_KEYS}, lambda: None
     from multiprocessing import shared_memory
 
     layout, _total = _pair_array_layout(
-        pairs["n_pairs"], pairs["lq_bucket"], pairs["lt_bucket"])
+        pairs["n_pairs"], pairs["lq_bucket"],
+        pairs["n_reads"], pairs["n_haps"], pairs["hap_w"])
     shm = shared_memory.SharedMemory(name=pairs["shm"])
-    arrays = tuple(
-        np.ndarray(shape, dt, buffer=shm.buf, offset=off)
-        for _nm, off, shape, dt in layout
-    )
+    arrays = {
+        nm: np.ndarray(shape, dt, buffer=shm.buf, offset=off)
+        for nm, off, shape, dt in layout
+    }
 
     def closer():
         shm.close()
@@ -148,17 +161,16 @@ def map_pair_arrays(pairs: dict):
         except FileNotFoundError:
             pass
 
-    return (*arrays, closer)
+    return arrays, closer
 
 
 def prepare_and_pack(builder, genotyper, window, band_margin,
                      max_regions: int, lt_buckets, lq_buckets,
-                     use_shm: bool = False) -> PackedWindow:
+                     use_shm: bool = False, shm_notify=None) -> PackedWindow:
     """Run phase A (gate/collect/assemble/extract/annotate) + pair building
     + padding for one window; returns the packed payload."""
     from lancet2_tpu.base.dna import encode
     from lancet2_tpu.core.variant_builder import PreparedWindow
-    from lancet2_tpu.ops.evidence_dp import R_MAX
 
     prepared = builder.prepare_window(window)
     code = builder.current_code
@@ -169,73 +181,80 @@ def prepare_and_pack(builder, genotyper, window, band_margin,
                             dict(timer.counts), None, None, None, None)
 
     with timer.stage("build_pairs"):
-        all_q, all_qu, all_t = [], [], []
         components = []
+        hap_codes_all: list[np.ndarray] = []
+        per_comp: list[dict] = []
+        n_pairs = 0
         for pc in prepared.components:
             hap_codes = [encode(h) for h in pc.hap_seqs]
-            pq, pqu, pt, pm = genotyper.build_evidence_pairs(
-                hap_codes, prepared.reads, pc.variants,
+            idx = genotyper.build_pair_indices(
+                [len(h) for h in hap_codes], prepared.reads, pc.variants,
                 anchor_pos1=pc.anchor_pos1, band_margin=band_margin,
                 max_regions=max_regions,
             )
-            n = len(pq)
-            start = len(all_q)
-            meta_r = np.empty(n, np.int32)
-            meta_h = np.empty(n, np.int32)
-            meta_vis = np.empty(n, np.int32)
-            regions = np.zeros((n, R_MAX, 2), np.int32)
-            vis_table: list = []
-            vis_ids: dict[int, int] = {}
-            if n:
-                regions = np.stack([m[2] for m in pm]).astype(np.int32)
-                for i, (r, h, _reg, vis) in enumerate(pm):
-                    meta_r[i] = r
-                    meta_h[i] = h
-                    key = id(vis)
-                    vid = vis_ids.get(key)
-                    if vid is None:
-                        vid = len(vis_table)
-                        vis_ids[key] = vid
-                        vis_table.append(vis)
-                    meta_vis[i] = vid
+            n = len(idx["read_ix"])
+            start = n_pairs
             components.append(PackedComponent(
                 pc.variants, pc.anchor_pos1, start, start + n,
-                meta_r, meta_h, meta_vis, regions, vis_table,
+                idx["read_ix"], idx["hap_local"], idx["meta_vis"],
+                idx["regions"], idx["vis_table"],
             ))
-            all_q.extend(pq)
-            all_qu.extend(pqu)
-            all_t.extend(pt)
+            idx["hap_offset"] = len(hap_codes_all)
+            hap_codes_all.extend(hap_codes)
+            per_comp.append(idx)
+            n_pairs += n
 
-        n_pairs = len(all_q)
         pairs = None
         if n_pairs:
-            lq_b = _bucket(max(len(s) for s in all_q), lq_buckets)
-            lt_b = _bucket(max(len(s) for s in all_t), lt_buckets)
-            arrays, shm = _alloc_pair_arrays(n_pairs, lq_b, lt_b, use_shm)
-            qs, qus, ts, qlens, tlens = arrays
-            qs[:] = 5
-            qus[:] = 0
-            ts[:] = 5
-            for i in range(n_pairs):
-                q = all_q[i]
-                qs[i, : len(q)] = q
-                qus[i, : len(q)] = all_qu[i]
-                t = all_t[i]
-                ts[i, : len(t)] = t
-                qlens[i] = len(q)
-                tlens[i] = len(t)
+            reads = prepared.reads
+            n_reads = len(reads)
+            n_haps = len(hap_codes_all)
+            lq_b = _bucket(max(r.length for r in reads), lq_buckets)
+            hap_w = max(len(h) for h in hap_codes_all)
+            lt_b = _bucket(
+                max(int(ix["tlens"].max()) for ix in per_comp
+                    if len(ix["tlens"])),
+                lt_buckets,
+            )
+            arrays, shm = _alloc_pair_arrays(
+                n_pairs, lq_b, n_reads, n_haps, hap_w, use_shm
+            )
+            arrays["reads_q"][:] = 5
+            arrays["reads_qu"][:] = 0
+            for i, r in enumerate(reads):
+                arrays["reads_q"][i, : r.length] = r.codes
+                arrays["reads_qu"][i, : r.length] = r.qual
+                arrays["read_lens"][i] = r.length
+            arrays["haps"][:] = 5
+            for i, h in enumerate(hap_codes_all):
+                arrays["haps"][i, : len(h)] = h
+                arrays["hap_lens"][i] = len(h)
+            off = 0
+            for ix in per_comp:
+                n = len(ix["read_ix"])
+                sl = slice(off, off + n)
+                arrays["read_ix"][sl] = ix["read_ix"]
+                arrays["hap_ix"][sl] = ix["hap_local"] + ix["hap_offset"]
+                arrays["band_start"][sl] = ix["band_start"]
+                arrays["tlens"][sl] = ix["tlens"]
+                off += n
             pairs = {
-                "n_pairs": n_pairs,
-                "lq_bucket": lq_b, "lt_bucket": lt_b,
+                "n_pairs": n_pairs, "n_reads": n_reads, "n_haps": n_haps,
+                "hap_w": hap_w, "lq_bucket": lq_b, "lt_bucket": lt_b,
             }
             if shm is not None:
                 # zero-copy to the parent: only the segment name crosses the
-                # queue (a padded pair block is ~MB-scale; pickling it would
-                # burn a core-second per ~700 windows on each side)
+                # queue (pool blocks are ~100s-of-KB; pickling them would
+                # burn host core-seconds on each side)
                 pairs["shm"] = shm.name
+                if shm_notify is not None:
+                    # publish the in-flight segment so the coordinator can
+                    # reclaim it if this worker dies before the result is
+                    # queued (fault-injection contract)
+                    shm_notify(shm.name)
                 shm.close()
             else:
-                pairs.update(qs=qs, qus=qus, qlens=qlens, ts=ts, tlens=tlens)
+                pairs.update(arrays)
 
         reads_lite = [
             ReadLite(
@@ -276,8 +295,12 @@ def warm_readers(samples, params, reader_pool: dict,
             _event_index(reader)
 
 
+_SHM_SLOT_W = 256  # bytes per worker in the in-flight-segment name table
+
+
 def process_worker_main(work_q, result_q, params, ref, samples, reader_pool,
-                        band_margin, max_regions, lt_buckets, lq_buckets):
+                        band_margin, max_regions, lt_buckets, lq_buckets,
+                        slot_arr=None, slot_idx: int = 0, shm_slots=None):
     """Entry point of a prep worker process (forked from the coordinator).
 
     Never touches JAX (device work stays in the executor process). Exits
@@ -297,12 +320,26 @@ def process_worker_main(work_q, result_q, params, ref, samples, reader_pool,
         pass
 
     # if the coordinator dies (its own watchdog, a crash), exit rather than
-    # block on the work queue forever as an orphan
+    # block on the work queue forever as an orphan — reclaiming this
+    # worker's in-flight shm segment first (nobody else knows its name)
     def _watchdog(parent_pid):
         import time
 
         while True:
             if os.getppid() != parent_pid:
+                if shm_slots is not None:
+                    base = slot_idx * _SHM_SLOT_W
+                    raw = bytes(shm_slots[base : base + _SHM_SLOT_W])
+                    name = raw.split(b"\x00", 1)[0].decode(errors="replace")
+                    if name:
+                        try:
+                            from multiprocessing import shared_memory
+
+                            seg = shared_memory.SharedMemory(name=name)
+                            seg.close()
+                            seg.unlink()
+                        except Exception:
+                            pass
                 os._exit(1)
             time.sleep(2.0)
 
@@ -325,16 +362,34 @@ def process_worker_main(work_q, result_q, params, ref, samples, reader_pool,
             if item is None:
                 break
             seq, window = item
+            if slot_arr is not None:
+                # crash context (reference: base/crash_handler.h per-thread
+                # window slots): the coordinator reads this on worker death
+                # so the fail-fast error names the window being processed
+                slot_arr[slot_idx] = seq
+
+            def shm_notify(name: str):
+                if shm_slots is not None:
+                    raw = name.encode()[: _SHM_SLOT_W - 1]
+                    base = slot_idx * _SHM_SLOT_W
+                    shm_slots[base : base + len(raw)] = raw
+                    shm_slots[base + len(raw)] = 0
+
             try:
                 payload = prepare_and_pack(
                     builder, genotyper, window, band_margin,
                     max_regions, lt_buckets, lq_buckets, use_shm=True,
+                    shm_notify=shm_notify,
                 )
                 result_q.put((seq, "ok", payload))
             except Exception as exc:  # report, then keep serving
                 result_q.put(
                     (seq, "error", (repr(exc), traceback.format_exc()))
                 )
+            finally:
+                shm_notify("")  # ownership passed to the executor
+                if slot_arr is not None:
+                    slot_arr[slot_idx] = -1
     except KeyboardInterrupt:
         pass
     finally:
@@ -396,17 +451,60 @@ def coordinator_main(work_q, result_q, params, ref_path, samples,
                      need_event_index=not params.skip_active_region)
 
         ctx = mp.get_context("fork")
+        # crash-context slots: worker i publishes the window seq it is
+        # processing (-1 = idle) so a killed worker's window is named in
+        # the fail-fast error (reference: base/crash_handler.h:53-67);
+        # shm_slots carries the in-flight segment name for reclaim
+        slot_arr = ctx.Array("l", [-1] * n_workers, lock=False)
+        shm_slots = ctx.Array("B", n_workers * _SHM_SLOT_W, lock=False)
         workers = [
             ctx.Process(
                 target=process_worker_main,
                 args=(work_q, result_q, params, ref, samples, reader_pool,
-                      band_margin, max_regions, lt_buckets, lq_buckets),
+                      band_margin, max_regions, lt_buckets, lq_buckets,
+                      slot_arr, i, shm_slots),
                 daemon=True,
             )
-            for _ in range(n_workers)
+            for i in range(n_workers)
         ]
         for w in workers:
             w.start()
+        # fail-fast supervision: a worker that dies abnormally (segfault,
+        # OOM-kill, SIGKILL) takes its queued window with it — without
+        # detection the executor would wait forever. Reclaim its in-flight
+        # shm segment, report, and exit (reference fail-fast contract:
+        # core/async_worker.cpp:76-97).
+        import time as _time
+
+        while True:
+            if all(not w.is_alive() for w in workers):
+                break
+            for i, w in enumerate(workers):
+                if not w.is_alive() and w.exitcode not in (0, None):
+                    seq = slot_arr[i]
+                    base = i * _SHM_SLOT_W
+                    raw = bytes(shm_slots[base : base + _SHM_SLOT_W])
+                    name = raw.split(b"\x00", 1)[0].decode(errors="replace")
+                    if name:
+                        try:
+                            from multiprocessing import shared_memory
+
+                            seg = shared_memory.SharedMemory(name=name)
+                            seg.close()
+                            seg.unlink()
+                        except Exception:
+                            pass
+                    result_q.put((-1, "fatal", (
+                        f"prep worker pid {w.pid} died with exitcode "
+                        f"{w.exitcode} while processing window seq {seq}",
+                        "",
+                    )))
+                    # flush the queue feeder before hard-exit, else the
+                    # fatal is lost and the executor sees silent death
+                    result_q.close()
+                    result_q.join_thread()
+                    os._exit(1)
+            _time.sleep(0.1)
         for w in workers:
             w.join()
     except Exception as exc:

@@ -20,6 +20,10 @@ import numpy as np
 
 _SHARDED_CACHE: dict = {}
 
+# sharded-dispatch counters (dryrun asserts every device phase went SPMD
+# when a mesh is attached — round-4 verdict next-step #6)
+SPMD_STATS = {"span_sharded": 0, "evidence_sharded": 0}
+
 
 def make_sharded_span(mesh, Lq: int, Lt: int, b_tile: int, interpret: bool):
     """Jitted shard_map of the R=0 span kernel over `mesh`'s first axis.
@@ -31,7 +35,7 @@ def make_sharded_span(mesh, Lq: int, Lt: int, b_tile: int, interpret: bool):
     import jax
     from jax.sharding import PartitionSpec as P
 
-    from lancet2_tpu.ops.evidence_pallas import _device_call
+    from lancet2_tpu.ops.evidence_pallas import _span_call
 
     key = (id(mesh), Lq, Lt, b_tile, interpret)
     fn = _SHARDED_CACHE.get(key)
@@ -40,20 +44,186 @@ def make_sharded_span(mesh, Lq: int, Lt: int, b_tile: int, interpret: bool):
 
     axis = mesh.axis_names[0]
 
-    def local(q, qu, t, ql, tl, reg):
-        return _device_call(q, qu, t, ql, tl, reg, Lq=Lq, Lt=Lt, R=0,
-                            b_tile=b_tile, interpret=interpret)
+    def local(q, ql, t, tl):
+        return _span_call(q, ql, t, tl, Lq=Lq, Lt=Lt,
+                          b_tile=b_tile, interpret=interpret)
 
     spec = P(axis)
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(spec,) * 6,
-        out_specs=(spec, spec),
+        in_specs=(spec,) * 4,
+        out_specs=spec,
         # the pallas_call's out_shape carries no varying-mesh-axes info
         check_vma=False,
     ))
     _SHARDED_CACHE[key] = fn
     return fn
+
+
+def make_sharded_span_indexed(mesh, nr: int, lq: int, nh: int, lh: int,
+                              Lt: int, b_tile: int, interpret: bool):
+    """Jitted shard_map of (pool gather -> R=0 span kernel): pools are
+    REPLICATED over the mesh (each device holds the group's unique
+    reads/haps once), pair-index arrays are sharded on the leading axis,
+    and each device expands + scores its own pair shard — embarrassingly
+    parallel, no collectives, identical per-pair outputs."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from lancet2_tpu.ops.evidence_fused import _gather_qt
+    from lancet2_tpu.ops.evidence_pallas import _span_call
+
+    key = ("idx", id(mesh), nr, lq, nh, lh, Lt, b_tile, interpret)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    axis = mesh.axis_names[0]
+
+    def local(reads_q, haps, rix, hix, bst, ql, tl):
+        q, t = _gather_qt(reads_q, haps, rix, hix, bst, Lt=Lt)
+        return _span_call(q, ql, t, tl, Lq=lq, Lt=Lt,
+                          b_tile=b_tile, interpret=interpret)
+
+    spec = P(axis)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None), P(None), spec, spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    ))
+    _SHARDED_CACHE[key] = fn
+    return fn
+
+
+def span_indexed_sharded(mesh, dev_pools, read_ix, hap_ix, band_start,
+                         tlens, Lt: int):
+    """One sharded span dispatch over ALL pairs of a group (indexed
+    protocol): per-pair results identical to span_indexed_submit
+    chunk-by-chunk (dryrun-asserted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lancet2_tpu.ops.evidence_pallas import (
+        B_TILE,
+        _count_dispatch,
+        IOUT_W_SPAN,
+        span_pairs_finalize,
+    )
+
+    n = len(read_ix)
+    D = mesh.devices.size
+    rows = D * B_TILE * max(1, -(-n // (D * B_TILE)))
+
+    def pad_ix(a, fill=0):
+        out = np.full(rows, fill, np.int32)
+        out[:n] = a
+        return out
+
+    rix = pad_ix(read_ix)
+    hix = pad_ix(hap_ix)
+    bst = pad_ix(band_start)
+    tl = pad_ix(tlens, fill=1)
+    ql = dev_pools.read_lens_host[rix].copy()
+    ql[n:] = 1
+
+    interpret = jax.default_backend() == "cpu"
+    fn = make_sharded_span_indexed(
+        mesh, dev_pools.reads_q.shape[0], dev_pools.lq,
+        dev_pools.haps.shape[0], dev_pools.lh, Lt, B_TILE, interpret,
+    )
+    iout = fn(
+        dev_pools.reads_q, dev_pools.haps,
+        jnp.asarray(rix), jnp.asarray(hix), jnp.asarray(bst),
+        jnp.asarray(ql[:, None]), jnp.asarray(tl[:, None]),
+    )
+    _count_dispatch(rows * (3 * 4 + 8), rows * IOUT_W_SPAN * 4)
+    SPMD_STATS["span_sharded"] += 1
+    return span_pairs_finalize(iout, None, n)
+
+
+def make_sharded_evidence_indexed(mesh, nr: int, lq: int, nh: int, lh: int,
+                                  Lt: int, R: int, b_tile: int,
+                                  interpret: bool):
+    """shard_map of (pool gather -> full evidence kernel): the pass-2
+    analog of make_sharded_span_indexed. Completes the SPMD story — with a
+    mesh attached, no device phase round-robins from Python."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from lancet2_tpu.ops.evidence_fused import _gather_qqt
+    from lancet2_tpu.ops.evidence_pallas import _device_call
+
+    key = ("ev", id(mesh), nr, lq, nh, lh, Lt, R, b_tile, interpret)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    axis = mesh.axis_names[0]
+
+    def local(reads_q, reads_qu, haps, rix, hix, bst, ql, tl, reg):
+        q, qu, t = _gather_qqt(reads_q, reads_qu, haps, rix, hix, bst,
+                               Lt=Lt)
+        return _device_call(q, qu, t, ql, tl, reg, Lq=lq, Lt=Lt, R=R,
+                            b_tile=b_tile, interpret=interpret)
+
+    spec = P(axis)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None), P(None), P(None)) + (spec,) * 6,
+        out_specs=(spec, spec),
+        check_vma=False,
+    ))
+    _SHARDED_CACHE[key] = fn
+    return fn
+
+
+def evidence_indexed_sharded(mesh, dev_pools, read_ix, hap_ix, band_start,
+                             tlens, reg8, Lt: int, R: int):
+    """One sharded full-evidence dispatch over the selected (pass-2) pairs.
+    Returns (iout, fout) device arrays covering len(read_ix) rows (padded
+    to a mesh multiple; per-pair results identical to
+    evidence_indexed_submit — dryrun-asserted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lancet2_tpu.ops.evidence_pallas import (
+        B_TILE,
+        FOUT_W,
+        IOUT_W,
+        _count_dispatch,
+    )
+
+    n = len(read_ix)
+    D = mesh.devices.size
+    rows = D * B_TILE * max(1, -(-n // (D * B_TILE)))
+
+    def pad_ix(a, fill=0):
+        out = np.full(rows, fill, np.int32)
+        out[:n] = a
+        return out
+
+    rix = pad_ix(read_ix)
+    hix = pad_ix(hap_ix)
+    bst = pad_ix(band_start)
+    tl = pad_ix(tlens, fill=1)
+    ql = dev_pools.read_lens_host[rix].copy()
+    ql[n:] = 1
+    reg = np.zeros((rows, 8), np.int32)
+    reg[:n] = reg8
+
+    interpret = jax.default_backend() == "cpu"
+    fn = make_sharded_evidence_indexed(
+        mesh, dev_pools.reads_q.shape[0], dev_pools.lq,
+        dev_pools.haps.shape[0], dev_pools.lh, Lt, R, B_TILE, interpret,
+    )
+    iout, fout = fn(
+        dev_pools.reads_q, dev_pools.reads_qu, dev_pools.haps,
+        jnp.asarray(rix), jnp.asarray(hix), jnp.asarray(bst),
+        jnp.asarray(ql[:, None]), jnp.asarray(tl[:, None]),
+        jnp.asarray(reg),
+    )
+    _count_dispatch(rows * (3 * 4 + 8 + 32), rows * (IOUT_W + FOUT_W) * 4)
+    SPMD_STATS["evidence_sharded"] += 1
+    return iout, fout
 
 
 def span_arrays_sharded(mesh, qs, qus, qlens, ts, tlens):
@@ -73,13 +243,13 @@ def span_arrays_sharded(mesh, qs, qus, qlens, ts, tlens):
         span_pairs_finalize,
     )
 
+    del qus  # quals are dead for the span kernel (region-only inputs)
     n, Lq = qs.shape
     Lt = ts.shape[1]
     D = mesh.devices.size
     qpad = (-Lq) % 8
     if qpad:
         qs = np.pad(qs, ((0, 0), (0, qpad)), constant_values=5)
-        qus = np.pad(qus, ((0, 0), (0, qpad)))
         Lq += qpad
     tpad = (-Lt) % 128
     if tpad:
@@ -89,17 +259,16 @@ def span_arrays_sharded(mesh, qs, qus, qlens, ts, tlens):
     pad = rows - n
     if pad:
         qs = np.pad(qs, ((0, pad), (0, 0)), constant_values=5)
-        qus = np.pad(qus, ((0, pad), (0, 0)))
         ts = np.pad(ts, ((0, pad), (0, 0)), constant_values=5)
         qlens = np.pad(qlens, (0, pad), constant_values=1)
         tlens = np.pad(tlens, (0, pad), constant_values=1)
 
     interpret = jax.default_backend() == "cpu"
     fn = make_sharded_span(mesh, Lq, Lt, B_TILE, interpret)
-    reg = jnp.zeros((rows, 8), jnp.int32)
-    iout, fout = fn(
-        jnp.asarray(qs), jnp.asarray(qus), jnp.asarray(ts),
+    iout = fn(
+        jnp.asarray(qs),
         jnp.asarray(qlens[:, None].astype(np.int32)),
-        jnp.asarray(tlens[:, None].astype(np.int32)), reg,
+        jnp.asarray(ts),
+        jnp.asarray(tlens[:, None].astype(np.int32)),
     )
-    return span_pairs_finalize(iout, fout, n)
+    return span_pairs_finalize(iout, None, n)
