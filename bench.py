@@ -212,29 +212,29 @@ def bench_evidence_pallas():
 
 def bench_span_kernel():
     """Amortized R=0 span-kernel rate (pass 1 of the two-pass dispatch) at
-    the executor shape — all output lanes consumed by the chained carry."""
+    the executor shape — all output lanes consumed by the chained carry.
+    Uses the lean span entry (quals/conf/flank planes are dead for R=0 and
+    no longer exist in its signature)."""
     import jax
     import jax.numpy as jnp
 
-    from lancet2_tpu.ops.evidence_pallas import _device_call
+    from lancet2_tpu.ops.evidence_pallas import _span_call
 
     B, Lq, Lt, K = 2048, 160, 384, 4
     rng = np.random.default_rng(4)
     q = jnp.asarray(rng.integers(0, 4, (B, Lq)), jnp.uint8)
-    qu = jnp.asarray(rng.integers(20, 40, (B, Lq)), jnp.uint8)
-    t = jnp.asarray(rng.integers(0, 4, (B, Lt)), jnp.uint8)
     ql = jnp.full((B, 1), Lq, jnp.int32)
+    t = jnp.asarray(rng.integers(0, 4, (B, Lt)), jnp.uint8)
     tl = jnp.full((B, 1), Lt, jnp.int32)
-    reg = jnp.zeros((B, 8), jnp.int32)
     interpret = jax.default_backend() == "cpu"
 
     def chained(qq):
         def body(carry, _):
-            iout, fout = _device_call(
-                carry, qu, t, ql, tl, reg,
-                Lq=Lq, Lt=Lt, R=0, b_tile=128, interpret=interpret,
+            iout = _span_call(
+                carry, ql, t, tl,
+                Lq=Lq, Lt=Lt, b_tile=128, interpret=interpret,
             )
-            bump = (iout.sum() + fout.sum().astype(jnp.int32)) & 1
+            bump = iout.sum() & 1
             nxt = (carry + bump.astype(jnp.uint8)) % 4
             return nxt, iout[0, 0]
         _, ss = jax.lax.scan(body, qq, None, length=K)

@@ -53,6 +53,13 @@ from lancet2_tpu.ops.affine_dp import NEG_INF, READ_TO_HAP, AlignParams
 D_MAX = 31  # descent cap: bits (16, 8, 4, 2, 1)
 _DESC_BITS = (16, 8, 4, 2, 1)
 
+# packed start/nm/taint companion plane (see _make_kernel). Read ONCE at
+# import: the jitted entry points key on shapes only, so flipping the env
+# mid-process would serve stale executables.
+import os as _os
+
+_PACKED_SNT = _os.environ.get("LANCET2_PACKED_SNT", "1") == "1"
+
 # output column layout (int plane width 32 / float plane width 16) — kept
 # narrow so the device->host result transfer per chunk stays small
 ICOL_SCORE, ICOL_TEND, ICOL_TSTART, ICOL_NM, ICOL_OVF = 0, 1, 2, 3, 4
@@ -89,21 +96,27 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
     NEG = np.int32(NEG_INF)
 
     # bank = dict of planes: val [B,Lt] i32; start/nm/taint companions —
-    # either three separate i32 planes (default) or ONE packed plane
-    # snt = (nm << SN) + (start << 1) + taint when LANCET2_PACKED_SNT=1.
-    # Packing is bit-exact (interpret-mode parity suite covers both): the
-    # fields always move under the same selector, additions target
-    # disjoint bit ranges, and the F-prime's transiently negative nm lives
-    # in the TOP field so its borrow never reaches lower bits. It cuts the
-    # descent's dominant per-plane shift cost (3 planes -> 1 on the span
-    # kernel) but is OPT-IN: the first packed Mosaic compile through the
-    # TPU tunnel was observed to wedge the remote compiler for 50+ minutes
-    # (round-4 notes), so the default stays on the proven layout until the
-    # compile pathology is understood.
+    # ONE packed plane snt = (nm << SN) + (start << 1) + taint (default),
+    # or three separate i32 planes with LANCET2_PACKED_SNT=0. Packing is
+    # bit-exact (interpret-mode parity suite covers both): the fields
+    # always move under the same selector, additions target disjoint bit
+    # ranges, and the F-prime's transiently negative nm lives in the TOP
+    # field so its borrow never reaches lower bits. It cuts the descent's
+    # dominant per-plane shift cost (3 planes -> 1).
+    #
+    # Round-5 root-cause of the round-4 "packed compile wedges the remote"
+    # incident (why this is now DEFAULT ON): the pathology does NOT
+    # reproduce. Guarded probes on the tunnel-attached v5e compiled and
+    # ran packed kernels at every production shape — span 8192x160x384 in
+    # 5.1s (24.5 GCUPS steady, vs 14.4 unpacked), evidence R=2
+    # 2048x160x384 in 73s (3.59 GCUPS vs 3.16), all outputs bit-equal to
+    # unpacked. The round-4 hang was either transient remote-compiler
+    # state or specific to the since-removed fat span signature (5 input
+    # row planes); with the lean R=0 signature the packed compile is
+    # actually FASTER than unpacked (5s vs 49s). Escape hatch kept via
+    # the env flag.
     # Per region r: qv, aligned, minbq (i32), raw, pbq, match (f32).
-    import os
-
-    packed = os.environ.get("LANCET2_PACKED_SNT", "0") == "1"
+    packed = _PACKED_SNT
     SB = max(1, int(np.ceil(np.log2(Lt + 2))))   # start field bits
     SS = 1                                        # start field offset
     SN = 1 + SB                                   # nm field offset
@@ -513,6 +526,8 @@ def _run_span(qT, qlen, t, tlen,
 
 def _run(qT, quT, confT, flankT, minqpT, qlen, t, tlen, reg,
          Lq: int, Lt: int, R: int, b_tile: int, interpret: bool = False):
+    if R == 0:
+        raise ValueError("R=0 span dispatch moved to _span_call (lean inputs)")
     B = t.shape[0]
     grid = (B // b_tile,)
     kernel = _make_kernel(Lq, Lt, R, READ_TO_HAP, b_tile)
