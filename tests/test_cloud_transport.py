@@ -119,3 +119,123 @@ def test_cli_pipeline_cloud_inputs_and_output(tmp_path, mem_s3):
         .decode().splitlines() if not l.startswith("#")
     ]
     assert any(l.split("\t")[1] == "2001" for l in records), records
+
+
+# ---------------------------------------------------------------------------
+# REAL network boundary: stdlib HTTP(S) ranged transport against an
+# in-process Range-serving httpd (loopback only — zero egress). This
+# exercises the same socket-level streaming path a production http(s)://
+# input would use (reference: htslib hfile_libcurl behind extractor URIs).
+# ---------------------------------------------------------------------------
+
+class _RangeHandler:
+    """http.server handler factory serving a blob dict with Range support."""
+
+    def __new__(cls, blobs):
+        from http.server import BaseHTTPRequestHandler
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _blob(self):
+                return blobs.get(self.path.lstrip("/"))
+
+            def do_HEAD(self):
+                data = self._blob()
+                if data is None:
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.send_header("Accept-Ranges", "bytes")
+                self.end_headers()
+
+            def do_GET(self):
+                data = self._blob()
+                if data is None:
+                    self.send_error(404)
+                    return
+                rng = self.headers.get("Range")
+                if rng and rng.startswith("bytes="):
+                    lo, _, hi = rng[6:].partition("-")
+                    lo = int(lo)
+                    hi = int(hi) if hi else len(data) - 1
+                    chunk = data[lo : hi + 1]
+                    self.send_response(206)
+                    self.send_header(
+                        "Content-Range",
+                        f"bytes {lo}-{lo + len(chunk) - 1}/{len(data)}",
+                    )
+                else:
+                    chunk = data
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(chunk)))
+                self.end_headers()
+                self.wfile.write(chunk)
+
+        return H
+
+
+@pytest.fixture
+def http_server():
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    blobs: dict[str, bytes] = {}
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler(blobs))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield blobs, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_http_transport_ranged_reads(http_server):
+    blobs, base = http_server
+    payload = os.urandom(6_000_000)
+    blobs["blob.bin"] = payload
+    url = f"{base}/blob.bin"
+    uri.validate_cloud_access([url], mode="read")
+    with uri.hts_open(url, "rb") as fh:
+        assert fh.read(100) == payload[:100]
+        fh.seek(5_000_000)
+        assert fh.read() == payload[5_000_000:]
+
+
+def test_cli_pipeline_http_inputs(tmp_path, http_server):
+    """Full pipeline with BAMs streamed over a real (loopback) socket."""
+    blobs, base = http_server
+    fx = _tiny_fixture(tmp_path)
+    blobs["normal.bam"] = open(fx["normal"], "rb").read()
+    blobs["tumor.bam"] = open(fx["tumor"], "rb").read()
+
+    import io as _io
+
+    from lancet2_tpu.cli.main import build_parser, run_pipeline
+
+    out_vcf = str(tmp_path / "http_out.vcf.gz")
+    argv = [
+        "pipeline", "-n", f"{base}/normal.bam", "-t", f"{base}/tumor.bam",
+        "-r", fx["fasta"], "-o", out_vcf,
+        "-R", "chrS:1500-2500", "-T", "1",
+    ]
+    args = build_parser().parse_args(argv)
+    stats = run_pipeline(args, "test")
+    assert stats["windows"] > 0
+    with gzip.open(out_vcf, "rt") as fh:
+        records = [l for l in fh.read().splitlines()
+                   if l and not l.startswith("#")]
+    assert any(l.split("\t")[1] == "2001" for l in records), records
+
+    # identity vs local-path run
+    out2 = str(tmp_path / "local_out.vcf.gz")
+    argv2 = [
+        "pipeline", "-n", fx["normal"], "-t", fx["tumor"],
+        "-r", fx["fasta"], "-o", out2,
+        "-R", "chrS:1500-2500", "-T", "1",
+    ]
+    run_pipeline(build_parser().parse_args(argv2), "test")
+    with gzip.open(out2, "rt") as fh:
+        records2 = [l for l in fh.read().splitlines()
+                    if l and not l.startswith("#")]
+    assert records == records2
