@@ -53,8 +53,10 @@ from lancet2_tpu.ops.evidence_pallas import (
 )
 
 # pool-shape buckets: executables are reused across batches; padding rows
-# are inert (value 5 = N, length 1)
-NR_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+# are inert (value 5 = N, length 1). Kept within ~25% padding — a 36k-read
+# batch padded to a 65536 bucket was measured shipping 44% dead bytes
+NR_BUCKETS = (512, 1024, 2048, 4096, 8192, 12288, 16384, 24576, 32768,
+              40960, 49152, 65536)
 NH_BUCKETS = (64, 256, 1024, 4096)
 LH_BUCKETS = (1536, 3072, 6144)
 
@@ -67,7 +69,12 @@ def _bucket(n: int, buckets) -> int:
 
 
 class DevicePools:
-    """Device-resident read/hap pools for one window-batch group."""
+    """Device-resident read/hap pools for one window-batch group.
+
+    Base quals stay HOST-side (`reads_qu_host`): only the ~16% pass-2
+    subset ever reads them, so shipping the full qual pool per batch was
+    pure waste — pass-2 chunks gather their qual rows on host and ship
+    <=cap rows each (evidence_indexed_submit)."""
 
     def __init__(self, reads_q, reads_qu, read_lens, haps, hap_lens,
                  device=None):
@@ -86,8 +93,9 @@ class DevicePools:
             lqb = lq + ((-lq) % 8)
             reads_q = np.pad(reads_q, ((0, nrb - nr), (0, lqb - lq)),
                              constant_values=5)
-            reads_qu = np.pad(reads_qu, ((0, nrb - nr), (0, lqb - lq)))
             read_lens = np.pad(read_lens, (0, nrb - nr), constant_values=1)
+            if lqb != lq:
+                reads_qu = np.pad(reads_qu, ((0, 0), (0, lqb - lq)))
         if nhb != nh or lhb != lh:
             haps = np.pad(haps, ((0, nhb - nh), (0, lhb - lh)),
                           constant_values=5)
@@ -97,13 +105,12 @@ class DevicePools:
             else contextlib.nullcontext()
         with ctx:
             self.reads_q = jnp.asarray(reads_q)
-            self.reads_qu = jnp.asarray(reads_qu)
             self.haps = jnp.asarray(haps)
-        # host copies for gate math + fallback expansion
+        # host copies for gate math, pass-2 qual gathers, and fallbacks
         self.read_lens_host = read_lens
+        self.reads_qu_host = reads_qu
         _count_dispatch(
-            reads_q.nbytes + reads_qu.nbytes + haps.nbytes + read_lens.nbytes,
-            0,
+            reads_q.nbytes + haps.nbytes + read_lens.nbytes, 0,
         )
 
 
@@ -123,6 +130,7 @@ def _gather_qt(reads_q, haps, read_ix, hap_ix, band_start, Lt: int):
 @functools.partial(jax.jit, static_argnames=("Lt",))
 def _gather_qqt(reads_q, reads_qu, haps, read_ix, hap_ix, band_start,
                 Lt: int):
+    # used by the sharded pass-2 path where the qual pool is replicated
     q, t = _gather_qt(reads_q, haps, read_ix, hap_ix, band_start, Lt)
     return q, reads_qu[read_ix], t
 
@@ -175,17 +183,22 @@ def evidence_indexed_submit(pools: DevicePools, read_ix, hap_ix, band_start,
     reg[:n] = reg8
     if n < cap:
         ql[n:] = 1
-    q, qu, t = _gather_qqt(
-        pools.reads_q, pools.reads_qu, pools.haps,
+    # quals gathered on host and shipped only for this <=cap subset (the
+    # pool keeps quals host-side — see DevicePools)
+    qu = pools.reads_qu_host[rix]
+    q, t = _gather_qt(
+        pools.reads_q, pools.haps,
         jnp.asarray(rix), jnp.asarray(hix), jnp.asarray(bst), Lt=Lt,
     )
     interpret = jax.default_backend() == "cpu"
     iout, fout = _device_call(
-        q, qu, t, jnp.asarray(ql[:, None]), jnp.asarray(tl[:, None]),
+        q, jnp.asarray(qu), t,
+        jnp.asarray(ql[:, None]), jnp.asarray(tl[:, None]),
         jnp.asarray(reg),
         Lq=pools.lq, Lt=Lt, R=R, b_tile=B_TILE, interpret=interpret,
     )
-    _count_dispatch(cap * (3 * 4 + 8 + 32), cap * (IOUT_W + FOUT_W) * 4)
+    _count_dispatch(cap * (3 * 4 + 8 + 32) + qu.nbytes,
+                    cap * (IOUT_W + FOUT_W) * 4)
     return iout, fout
 
 

@@ -150,7 +150,7 @@ def make_sharded_evidence_indexed(mesh, nr: int, lq: int, nh: int, lh: int,
     import jax
     from jax.sharding import PartitionSpec as P
 
-    from lancet2_tpu.ops.evidence_fused import _gather_qqt
+    from lancet2_tpu.ops.evidence_fused import _gather_qt
     from lancet2_tpu.ops.evidence_pallas import _device_call
 
     key = ("ev", id(mesh), nr, lq, nh, lh, Lt, R, b_tile, interpret)
@@ -159,16 +159,16 @@ def make_sharded_evidence_indexed(mesh, nr: int, lq: int, nh: int, lh: int,
         return fn
     axis = mesh.axis_names[0]
 
-    def local(reads_q, reads_qu, haps, rix, hix, bst, ql, tl, reg):
-        q, qu, t = _gather_qqt(reads_q, reads_qu, haps, rix, hix, bst,
-                               Lt=Lt)
+    def local(reads_q, haps, qu, rix, hix, bst, ql, tl, reg):
+        # qu rows arrive pre-gathered per shard (quals are host-pooled)
+        q, t = _gather_qt(reads_q, haps, rix, hix, bst, Lt=Lt)
         return _device_call(q, qu, t, ql, tl, reg, Lq=lq, Lt=Lt, R=R,
                             b_tile=b_tile, interpret=interpret)
 
     spec = P(axis)
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None), P(None), P(None)) + (spec,) * 6,
+        in_specs=(P(None), P(None)) + (spec,) * 7,
         out_specs=(spec, spec),
         check_vma=False,
     ))
@@ -207,6 +207,7 @@ def evidence_indexed_sharded(mesh, dev_pools, read_ix, hap_ix, band_start,
     tl = pad_ix(tlens, fill=1)
     ql = dev_pools.read_lens_host[rix].copy()
     ql[n:] = 1
+    qu = dev_pools.reads_qu_host[rix]
     reg = np.zeros((rows, 8), np.int32)
     reg[:n] = reg8
 
@@ -216,7 +217,7 @@ def evidence_indexed_sharded(mesh, dev_pools, read_ix, hap_ix, band_start,
         dev_pools.haps.shape[0], dev_pools.lh, Lt, R, B_TILE, interpret,
     )
     iout, fout = fn(
-        dev_pools.reads_q, dev_pools.reads_qu, dev_pools.haps,
+        dev_pools.reads_q, dev_pools.haps, jnp.asarray(qu),
         jnp.asarray(rix), jnp.asarray(hix), jnp.asarray(bst),
         jnp.asarray(ql[:, None]), jnp.asarray(tl[:, None]),
         jnp.asarray(reg),
