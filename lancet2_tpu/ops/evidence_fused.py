@@ -101,38 +101,38 @@ class DevicePools:
                           constant_values=5)
         self.lq = reads_q.shape[1]
         self.lh = haps.shape[1]
+        # 4-bit base packing: codes are 0..5, so two bases share a byte —
+        # halves the dominant pool transfer; G1 unpacks after the gather
+        packed_q = (reads_q[:, 0::2] | (reads_q[:, 1::2] << 4)).astype(
+            np.uint8
+        )
         ctx = jax.default_device(device) if device is not None \
             else contextlib.nullcontext()
         with ctx:
-            self.reads_q = jnp.asarray(reads_q)
+            self.reads_q = jnp.asarray(packed_q)
             self.haps = jnp.asarray(haps)
         # host copies for gate math, pass-2 qual gathers, and fallbacks
         self.read_lens_host = read_lens
         self.reads_qu_host = reads_qu
         _count_dispatch(
-            reads_q.nbytes + haps.nbytes + read_lens.nbytes, 0,
+            packed_q.nbytes + haps.nbytes + read_lens.nbytes, 0,
         )
 
 
 @functools.partial(jax.jit, static_argnames=("Lt",))
 def _gather_qt(reads_q, haps, read_ix, hap_ix, band_start, Lt: int):
-    """Expand one pair chunk from the pools: q by row gather, t by banded
-    window gather (clipped; columns >= t_len are masked by the kernel's
-    extraction and never influence extracted outputs)."""
-    q = reads_q[read_ix]
+    """Expand one pair chunk from the pools: q by row gather + 4-bit
+    unpack, t by banded window gather (clipped; columns >= t_len are
+    masked by the kernel's extraction and never influence extracted
+    outputs)."""
+    qp = reads_q[read_ix]                      # [B, Lq/2] packed
+    b, half = qp.shape
+    q = jnp.stack([qp & 15, qp >> 4], axis=-1).reshape(b, half * 2)
     lh = haps.shape[1]
     cols = band_start[:, None] + jnp.arange(Lt, dtype=jnp.int32)[None, :]
     cols = jnp.clip(cols, 0, lh - 1)
     t = haps[hap_ix[:, None], cols]
     return q, t
-
-
-@functools.partial(jax.jit, static_argnames=("Lt",))
-def _gather_qqt(reads_q, reads_qu, haps, read_ix, hap_ix, band_start,
-                Lt: int):
-    # used by the sharded pass-2 path where the qual pool is replicated
-    q, t = _gather_qt(reads_q, haps, read_ix, hap_ix, band_start, Lt)
-    return q, reads_qu[read_ix], t
 
 
 def _pad_ix(arr, n, fill=0):

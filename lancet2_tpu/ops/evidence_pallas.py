@@ -66,9 +66,10 @@ ICOL_SCORE, ICOL_TEND, ICOL_TSTART, ICOL_NM, ICOL_OVF = 0, 1, 2, 3, 4
 ICOL_QV, ICOL_ALIGNED, ICOL_MINBQ = 8, 12, 16
 FCOL_RAW, FCOL_PBQ, FCOL_MATCH = 0, 4, 8
 IOUT_W, FOUT_W = 32, 16
-# R=0 SPAN kernel emits only the 5 scalar columns: an 8-wide int row keeps
-# the device->host result at 32 B/pair (vs 192 B for the full layout)
-IOUT_W_SPAN = 8
+# R=0 SPAN kernel output: 4 i32 cols = 16 B/pair (vs 192 B full layout) —
+# score (full i32), (t_end << 16) | t_start, (nm << 1) | taint, spare
+SCOL_SCORE, SCOL_SPAN, SCOL_NMOVF = 0, 1, 2
+IOUT_W_SPAN = 4
 
 # lane-axis constraint: the transposed [Lq, B] row inputs put the pair axis
 # on lanes, so tiles must be 128-wide; R=4 inputs are split into two R=2
@@ -406,13 +407,20 @@ def _make_kernel(Lq: int, Lt: int, R: int, p: AlignParams, b_tile: int):
             tstart_out = pick(Fb["start"])
             nm_out = pick(Fb["nm"])
             ovf_out = pick(Fb["taint"])
-        out_cols_i = {
-            ICOL_SCORE: jnp.where(all_neg, NEG, best),
-            ICOL_TEND: t_end,
-            ICOL_TSTART: tstart_out,
-            ICOL_NM: nm_out,
-            ICOL_OVF: ovf_out,
-        }
+        if R == 0:
+            out_cols_i = {
+                SCOL_SCORE: jnp.where(all_neg, NEG, best),
+                SCOL_SPAN: (t_end << 16) | tstart_out,
+                SCOL_NMOVF: (nm_out << 1) | ovf_out,
+            }
+        else:
+            out_cols_i = {
+                ICOL_SCORE: jnp.where(all_neg, NEG, best),
+                ICOL_TEND: t_end,
+                ICOL_TSTART: tstart_out,
+                ICOL_NM: nm_out,
+                ICOL_OVF: ovf_out,
+            }
         out_cols_f = {}
         for r in range(R):
             out_cols_i[ICOL_QV + r] = pick(Fb[f"qv{r}"])
@@ -634,12 +642,14 @@ def span_pairs_submit(queries, quals, q_lens, targets, t_lens):
 def span_pairs_finalize(iout, fout, B):
     del fout  # span kernel emits no float planes
     iout = np.asarray(iout)[:B]
+    span = iout[:, SCOL_SPAN]
+    nm_ovf = iout[:, SCOL_NMOVF]
     return {
-        "score": iout[:, ICOL_SCORE].copy(),
-        "t_end": iout[:, ICOL_TEND].copy(),
-        "t_start": iout[:, ICOL_TSTART].copy(),
-        "nm": iout[:, ICOL_NM].copy(),
-        "overflow": iout[:, ICOL_OVF].astype(bool),
+        "score": iout[:, SCOL_SCORE].copy(),
+        "t_end": span >> 16,
+        "t_start": span & 0xFFFF,
+        "nm": nm_ovf >> 1,
+        "overflow": (nm_ovf & 1).astype(bool),
     }
 
 
