@@ -337,9 +337,24 @@ class Genotyper:
             n_reads * C, R_MAX, 2
         )
         meta_vis = np.tile(meta_vis_col, n_reads)
-        return dict(read_ix=read_ix, hap_local=hap_local,
-                    band_start=band_start, tlens=tlens,
-                    regions=regions_all, meta_vis=meta_vis,
+
+        # EXACT pair pruning: a pair whose every region slot band-clipped
+        # to empty can never contribute evidence (assembly reads a pair
+        # only through active-slot overlap), so it never needs to ship or
+        # align. Kept regardless: each read's FIRST REF-hap pair — the
+        # per-read NM-baseline source (assemble_evidence* takes the first
+        # REF pair in order). Identical results, ~35% fewer pairs on the
+        # chr-scale bench (reference aligns every read to every haplotype
+        # — caller/genotyper.cpp:376-411 — but only because minimap2
+        # can't know which alignments feed evidence; the band geometry
+        # here proves it upfront).
+        keep = (regions_all[:, :, 1] > regions_all[:, :, 0]).any(axis=1)
+        keep = keep.reshape(n_reads, C)
+        keep[:, 0] = True  # (h=0, ci=0): the REF baseline pair
+        keep = keep.ravel()
+        return dict(read_ix=read_ix[keep], hap_local=hap_local[keep],
+                    band_start=band_start[keep], tlens=tlens[keep],
+                    regions=regions_all[keep], meta_vis=meta_vis[keep],
                     vis_table=vis_table)
 
     def _chunk_inputs(self, pair_q, pair_qu, pair_t, pair_meta, lo, hi,
@@ -891,32 +906,57 @@ class Genotyper:
                 needed = needed[~over]
                 need_act = need_act[~over]
             r_need = np.where(need_act[:, 1], 2, 1)
+
+            # CROP: the pass-1 optimal path's target cells all lie in
+            # [t_start, t_end), so pass 2 re-runs the DP on that span only
+            # — identical outputs (ties/extraction are shift-invariant;
+            # fuzz-pinned by tests/test_evidence_crop.py) at ~2x fewer
+            # kernel cells. Regions shift WITHOUT clamping (negative
+            # starts reproduce the full-coordinate mask truths exactly).
+            c_off = np.zeros(n, np.int64)
+            c_off[needed] = t_start[needed]
+            c_len = np.ones(n, np.int64)
+            c_len[needed] = t_end[needed] - t_start[needed]
+            small = min(256, lt)  # lane dim stays a multiple of 128
+            lt_of = np.where(c_len <= small, small, lt)
+
             cap = min(chunk, 2048)
             pend2 = []
             use_mesh2 = self.mesh is not None
-            for R, sel in ((1, needed[r_need == 1]), (2, needed[r_need == 2])):
-                if use_mesh2 and sel.size:
+            classes = [
+                (R, L, needed[(r_need == R)
+                              & (lt_of[needed] == L)])
+                for R in (1, 2) for L in sorted({small, lt})
+            ]
+            for R, L, sel in classes:
+                if sel.size == 0:
+                    continue
+                if use_mesh2:
                     from lancet2_tpu.parallel.evidence_spmd import (
                         evidence_indexed_sharded,
                     )
 
                     reg8 = np.concatenate(
-                        [regions[sel, :, 0], regions[sel, :, 1]], axis=1
-                    )
+                        [regions[sel, :, 0] - c_off[sel, None],
+                         regions[sel, :, 1] - c_off[sel, None]], axis=1
+                    ).astype(np.int32)
                     iout, fout = evidence_indexed_sharded(
                         self.mesh, dev, read_ix[sel], hap_ix[sel],
-                        band_start[sel], tlens[sel], reg8, lt, R,
+                        band_start[sel] + c_off[sel], c_len[sel], reg8,
+                        L, R,
                     )
                     pend2.append((iout, fout, sel, R))
                     continue
                 for lo in range(0, sel.size, cap):
                     idx = sel[lo : lo + cap]
                     reg8 = np.concatenate(
-                        [regions[idx, :, 0], regions[idx, :, 1]], axis=1
-                    )
+                        [regions[idx, :, 0] - c_off[idx, None],
+                         regions[idx, :, 1] - c_off[idx, None]], axis=1
+                    ).astype(np.int32)
                     iout, fout = evidence_indexed_submit(
-                        dev, read_ix[idx], hap_ix[idx], band_start[idx],
-                        tlens[idx], reg8, lt, cap, R=R,
+                        dev, read_ix[idx], hap_ix[idx],
+                        band_start[idx] + c_off[idx], c_len[idx], reg8,
+                        L, cap, R=R,
                     )
                     pend2.append((iout, fout, idx, R))
             for iout, fout, *_rest in pend2:
@@ -928,6 +968,9 @@ class Genotyper:
                 ovf = sub.pop("overflow")
                 if ovf.any():
                     extra_rerun.append(idx[ovf])
+                # t_start/t_end come back in crop coordinates
+                sub["t_start"] = sub["t_start"] + c_off[idx]
+                sub["t_end"] = sub["t_end"] + c_off[idx]
                 for k in outs:
                     outs[k][idx] = np.asarray(sub[k]).astype(
                         outs[k].dtype, copy=False

@@ -76,16 +76,31 @@ def test_indexed_builder_matches_expanded(component):
         [len(h) for h in hap_codes], reads, variants,
         anchor_pos1=anchor, band_margin=margin, max_regions=2,
     )
-    n = len(pq)
+    # the indexed builder prunes pairs whose every region slot clipped to
+    # empty (they can never contribute evidence), keeping each read's
+    # first REF pair — apply the same criterion to the expanded list
+    meta_r_all = np.array([m[0] for m in pm])
+    meta_h_all = np.array([m[1] for m in pm])
+    regions_exp_all = np.stack([m[2] for m in pm])
+    active_any = (regions_exp_all[:, :, 1] > regions_exp_all[:, :, 0]).any(1)
+    first_ref = np.zeros(len(pm), bool)
+    seen = set()
+    for i, (r, h, _reg, _vis) in enumerate(pm):
+        if h == 0 and r not in seen:
+            first_ref[i] = True
+            seen.add(r)
+    keep = active_any | first_ref
+    kept = np.flatnonzero(keep)
+    n = kept.size
     assert len(idx["read_ix"]) == n
+    assert n < len(pm)  # pruning engaged on this fixture
 
-    # pair order + meta identity
-    meta_r = np.array([m[0] for m in pm])
-    meta_h = np.array([m[1] for m in pm])
-    assert np.array_equal(idx["read_ix"], meta_r)
-    assert np.array_equal(idx["hap_local"], meta_h)
-    regions_exp = np.stack([m[2] for m in pm])
-    assert np.array_equal(idx["regions"], regions_exp)
+    pq = [pq[i] for i in kept]
+    pt = [pt[i] for i in kept]
+    pm = [pm[i] for i in kept]
+    assert np.array_equal(idx["read_ix"], meta_r_all[kept])
+    assert np.array_equal(idx["hap_local"], meta_h_all[kept])
+    assert np.array_equal(idx["regions"], regions_exp_all[kept])
     for i, m in enumerate(pm):
         assert idx["vis_table"][idx["meta_vis"][i]] == m[3]
 
