@@ -118,15 +118,17 @@ def _warm_executor_kernels():
     tl = np.full(B, 317, np.int64)
     iout, _f, _b = span_pairs_submit(q, qu, ql, t, tl)
     np.asarray(iout)
-    reg = np.zeros((B2, 4, 2), np.int32)
-    reg[:, 0] = (100, 101)
-    iout, _f, _b, _r = evidence_pairs_submit(q[:B2], qu[:B2], ql[:B2],
-                                             t[:B2], tl[:B2], reg)
-    np.asarray(iout)
-    reg[:, 1] = (200, 201)
-    iout, _f, _b, _r = evidence_pairs_submit(q[:B2], qu[:B2], ql[:B2],
-                                             t[:B2], tl[:B2], reg)
-    np.asarray(iout)
+    for lt in (384, 256):  # full band + the pass-2 crop bucket
+        tt, ttl = t[:B2, :lt], np.minimum(tl[:B2], lt - 20)
+        reg = np.zeros((B2, 4, 2), np.int32)
+        reg[:, 0] = (100, 101)
+        iout, _f, _b, _r = evidence_pairs_submit(q[:B2], qu[:B2], ql[:B2],
+                                                 tt, ttl, reg)
+        np.asarray(iout)
+        reg[:, 1] = (200, 201)
+        iout, _f, _b, _r = evidence_pairs_submit(q[:B2], qu[:B2], ql[:B2],
+                                                 tt, ttl, reg)
+        np.asarray(iout)
 
 
 # ---------------------------------------------------------------------------

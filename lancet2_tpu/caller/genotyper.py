@@ -779,24 +779,43 @@ class Genotyper:
                   haps [NH, LH] u8
         pairs: read_ix/hap_ix/band_start/tlens [n] i32,
                regions [n, R_MAX, 2] i32 (band coordinates)."""
+        return self.finish_evidence_indexed(
+            self.begin_evidence_indexed(pools, pairs, pair_chunk)
+        )
+
+    def begin_evidence_indexed(self, pools: dict, pairs: dict,
+                               pair_chunk: int | None = None):
+        """Submit pass 1 (pool transfer + span dispatches, all async) and
+        return a continuation state for finish_evidence_indexed. The batch
+        executor overlaps the previous batch's host phase C under these
+        device dispatches."""
         chunk = pair_chunk if pair_chunk is not None else _PAIR_CHUNK
-        if _on_device():
-            return self._run_evidence_indexed_device(pools, pairs, chunk)
-        from lancet2_tpu.ops.evidence_fused import expand_pairs_numpy
+        if not _on_device():
+            return ("host", pools, pairs, chunk)
+        return ("device",
+                self._begin_evidence_indexed_device(pools, pairs, chunk))
 
-        lt = int(pairs.get("lt_bucket") or _bucket(
-            int(np.max(pairs["tlens"], initial=1)), _TARGET_BUCKETS))
-        qs, qus, qlens, ts, tlens = expand_pairs_numpy(
-            pools["reads_q"], pools["reads_qu"], pools["read_lens"],
-            pools["haps"], pairs["read_ix"], pairs["hap_ix"],
-            pairs["band_start"], pairs["tlens"], lt,
-        )
-        return self.run_evidence_arrays(
-            qs, qus, qlens, ts, tlens, pairs["regions"], pair_chunk=chunk
-        )
+    def finish_evidence_indexed(self, state):
+        kind, *rest = state
+        if kind == "host":
+            from lancet2_tpu.ops.evidence_fused import expand_pairs_numpy
 
-    def _run_evidence_indexed_device(self, pools: dict, pairs: dict,
-                                     chunk: int):
+            pools, pairs, chunk = rest
+            lt = int(pairs.get("lt_bucket") or _bucket(
+                int(np.max(pairs["tlens"], initial=1)), _TARGET_BUCKETS))
+            qs, qus, qlens, ts, tlens = expand_pairs_numpy(
+                pools["reads_q"], pools["reads_qu"], pools["read_lens"],
+                pools["haps"], pairs["read_ix"], pairs["hap_ix"],
+                pairs["band_start"], pairs["tlens"], lt,
+            )
+            return self.run_evidence_arrays(
+                qs, qus, qlens, ts, tlens, pairs["regions"],
+                pair_chunk=chunk,
+            )
+        return self._finish_evidence_indexed_device(rest[0])
+
+    def _begin_evidence_indexed_device(self, pools: dict, pairs: dict,
+                                       chunk: int):
         from lancet2_tpu.ops.evidence_dp import R_MAX
         from lancet2_tpu.ops.evidence_fused import (
             DevicePools,
@@ -826,17 +845,13 @@ class Genotyper:
             MESH_FALLBACK_STATS["plain_span_with_mesh"] += 1
         if use_mesh:
             from lancet2_tpu.parallel.evidence_spmd import (
-                span_indexed_sharded,
+                span_indexed_sharded_submit,
             )
 
-            span = span_indexed_sharded(
+            iout = span_indexed_sharded_submit(
                 self.mesh, dev, read_ix, hap_ix, band_start, tlens, lt
             )
-            score = span["score"].astype(np.int64)
-            t_end = span["t_end"].astype(np.int64)
-            t_start = span["t_start"].astype(np.int64)
-            nm = span["nm"].astype(np.int64)
-            tainted = span["overflow"].astype(bool)
+            pend = [(iout, 0, n)]
         else:
             pend = []
             for lo in range(0, n, chunk):
@@ -848,18 +863,39 @@ class Genotyper:
                 pend.append((iout, lo, hi))
             for iout, *_rest in pend:
                 iout.copy_to_host_async()
-            score = np.zeros(n, np.int64)
-            t_end = np.zeros(n, np.int64)
-            t_start = np.zeros(n, np.int64)
-            nm = np.zeros(n, np.int64)
-            tainted = np.zeros(n, bool)
-            for iout, lo, hi in pend:
-                span = span_pairs_finalize(iout, None, hi - lo)
-                score[lo:hi] = span["score"]
-                t_end[lo:hi] = span["t_end"]
-                t_start[lo:hi] = span["t_start"]
-                nm[lo:hi] = span["nm"]
-                tainted[lo:hi] = span["overflow"]
+        # pass-1 dispatches are in flight; everything from the span read
+        # onward runs in _finish_evidence_indexed_device so the caller can
+        # overlap host work under the device stream
+        return dict(dev=dev, pools=pools, pend=pend, n=n, lt=lt,
+                    chunk=chunk, read_ix=read_ix, hap_ix=hap_ix,
+                    band_start=band_start, tlens=tlens, regions=regions)
+
+    def _finish_evidence_indexed_device(self, st: dict):
+        from lancet2_tpu.ops.evidence_dp import R_MAX
+        from lancet2_tpu.ops.evidence_fused import (
+            evidence_indexed_submit,
+            expand_pairs_numpy,
+        )
+        from lancet2_tpu.ops.evidence_pallas import span_pairs_finalize
+
+        dev, pools, pend = st["dev"], st["pools"], st["pend"]
+        n, lt, chunk = st["n"], st["lt"], st["chunk"]
+        read_ix, hap_ix = st["read_ix"], st["hap_ix"]
+        band_start, tlens, regions = (st["band_start"], st["tlens"],
+                                      st["regions"])
+
+        score = np.zeros(n, np.int64)
+        t_end = np.zeros(n, np.int64)
+        t_start = np.zeros(n, np.int64)
+        nm = np.zeros(n, np.int64)
+        tainted = np.zeros(n, bool)
+        for iout, lo, hi in pend:
+            span = span_pairs_finalize(iout, None, hi - lo)
+            score[lo:hi] = span["score"]
+            t_end[lo:hi] = span["t_end"]
+            t_start[lo:hi] = span["t_start"]
+            nm[lo:hi] = span["nm"]
+            tainted[lo:hi] = span["overflow"]
 
         active = regions[:, :, 1] > regions[:, :, 0]
         overlap = (

@@ -398,93 +398,91 @@ class BatchPipelineExecutor:
             if not pending:
                 return {"windows": 0, "flushed": 0}
 
-            while pending:
-                batch, cur_seqs = pending.popleft()
-                top_up()  # keep the prep pipeline full before waiting
-                lo = batch[0].genome_index
-                with wall.stage("prep_wait"):
-                    payloads = self._wait_for(cur_seqs)
-                for p in payloads:
-                    for k, v in p.timer_totals.items():
-                        self.stage_timer.totals[k] += v
-                    for k, v in p.timer_counts.items():
-                        self.stage_timer.counts[k] += v
-
-                # ---- phase B: fused evidence DP over the whole batch -----
-                # group windows by padded pair-array shape; one fused
-                # array stream per group (pair outputs are independent of
-                # chunk composition, so grouping is result-neutral)
+            def submit_phase_b(payloads):
+                """Group windows by padded shape, concatenate pools with
+                index offsets, and SUBMIT pass 1 for every group (device
+                dispatches in flight on return). Result-neutral grouping:
+                pair outputs are independent of chunk composition."""
                 groups: dict[tuple[int, int], list[int]] = {}
                 for bi, p in enumerate(payloads):
                     if p.pairs is not None:
                         key = (p.pairs["lq_bucket"], p.pairs["lt_bucket"])
                         groups.setdefault(key, []).append(bi)
+                subs = []
+                for key in sorted(groups):
+                    members = groups[key]
+                    pool_parts = {k: [] for k in (
+                        "reads_q", "reads_qu", "read_lens",
+                        "haps", "hap_lens")}
+                    ix_parts = {k: [] for k in (
+                        "read_ix", "hap_ix", "band_start", "tlens")}
+                    regs, closers = [], []
+                    r_off = h_off = 0
+                    hap_w = max(payloads[bi].pairs["hap_w"]
+                                for bi in members)
+                    for bi in members:
+                        arrays, closer = map_pair_arrays(
+                            payloads[bi].pairs
+                        )
+                        closers.append(closer)
+                        for k in ("reads_q", "reads_qu", "read_lens",
+                                  "hap_lens"):
+                            pool_parts[k].append(arrays[k])
+                        h = arrays["haps"]
+                        if h.shape[1] < hap_w:
+                            h = np.pad(
+                                h, ((0, 0), (0, hap_w - h.shape[1])),
+                                constant_values=5,
+                            )
+                        pool_parts["haps"].append(h)
+                        ix_parts["read_ix"].append(
+                            arrays["read_ix"] + r_off)
+                        ix_parts["hap_ix"].append(
+                            arrays["hap_ix"] + h_off)
+                        ix_parts["band_start"].append(
+                            arrays["band_start"])
+                        ix_parts["tlens"].append(arrays["tlens"])
+                        r_off += payloads[bi].pairs["n_reads"]
+                        h_off += payloads[bi].pairs["n_haps"]
+                        regs.append(np.concatenate(
+                            [c.regions for c in payloads[bi].components]
+                        ))
+                    pools = {k: np.concatenate(v)
+                             for k, v in pool_parts.items()}
+                    pairs = {k: np.concatenate(v)
+                             for k, v in ix_parts.items()}
+                    pairs["regions"] = np.concatenate(regs)
+                    pairs["lt_bucket"] = key[1]
+                    for closer in closers:
+                        closer()  # shm consumed by the concatenation
+                    st = genotyper.begin_evidence_indexed(
+                        pools, pairs, pair_chunk=self.pair_chunk,
+                    )
+                    subs.append((members, st))
+                return subs
 
+            def finish_phase_b(payloads, subs):
                 outs_by_bi: dict[int, dict] = {}
+                for members, st in subs:
+                    outs = genotyper.finish_evidence_indexed(st)
+                    off = 0
+                    for bi in members:
+                        n = payloads[bi].pairs["n_pairs"]
+                        outs_by_bi[bi] = {
+                            k: v[off : off + n] for k, v in outs.items()
+                        }
+                        off += n
+                return outs_by_bi
+
+            def complete_batch(prev, next_first_window):
+                nonlocal flushed, num_done
+                batch, payloads, subs, lo = prev
                 with wall.stage("device"), \
                         self.stage_timer.stage("genotype_device"):
-                    for key in sorted(groups):
-                        members = groups[key]
-                        # concatenate the windows' read/hap POOLS with index
-                        # offsets — unique sequences ship once per group,
-                        # pairs are 4 i32 columns (ops/evidence_fused.py)
-                        pool_parts = {k: [] for k in (
-                            "reads_q", "reads_qu", "read_lens",
-                            "haps", "hap_lens")}
-                        ix_parts = {k: [] for k in (
-                            "read_ix", "hap_ix", "band_start", "tlens")}
-                        regs, closers = [], []
-                        r_off = h_off = 0
-                        hap_w = max(payloads[bi].pairs["hap_w"]
-                                    for bi in members)
-                        for bi in members:
-                            arrays, closer = map_pair_arrays(
-                                payloads[bi].pairs
-                            )
-                            closers.append(closer)
-                            for k in ("reads_q", "reads_qu", "read_lens",
-                                      "hap_lens"):
-                                pool_parts[k].append(arrays[k])
-                            h = arrays["haps"]
-                            if h.shape[1] < hap_w:
-                                h = np.pad(
-                                    h, ((0, 0), (0, hap_w - h.shape[1])),
-                                    constant_values=5,
-                                )
-                            pool_parts["haps"].append(h)
-                            ix_parts["read_ix"].append(
-                                arrays["read_ix"] + r_off)
-                            ix_parts["hap_ix"].append(
-                                arrays["hap_ix"] + h_off)
-                            ix_parts["band_start"].append(
-                                arrays["band_start"])
-                            ix_parts["tlens"].append(arrays["tlens"])
-                            r_off += payloads[bi].pairs["n_reads"]
-                            h_off += payloads[bi].pairs["n_haps"]
-                            regs.append(np.concatenate(
-                                [c.regions for c in payloads[bi].components]
-                            ))
-                        pools = {k: np.concatenate(v)
-                                 for k, v in pool_parts.items()}
-                        pairs = {k: np.concatenate(v)
-                                 for k, v in ix_parts.items()}
-                        pairs["regions"] = np.concatenate(regs)
-                        pairs["lt_bucket"] = key[1]
-                        for closer in closers:
-                            closer()  # shm consumed by the concatenation
-                        outs = genotyper.run_evidence_indexed(
-                            pools, pairs, pair_chunk=self.pair_chunk,
-                        )
-                        off = 0
-                        for bi in members:
-                            n = payloads[bi].pairs["n_pairs"]
-                            outs_by_bi[bi] = {
-                                k: v[off : off + n] for k, v in outs.items()
-                            }
-                            off += n
+                    outs_by_bi = finish_phase_b(payloads, subs)
 
                 # ---- phase C: assemble + store ---------------------------
-                pending_rows: list[tuple[int, PackedWindow, object, dict]] = []
+                pending_rows: list = []
                 with wall.stage("phase_c"):
                     for bi, payload in enumerate(payloads):
                         if payload.components is None:
@@ -544,19 +542,44 @@ class BatchPipelineExecutor:
                             self.store.add_variants(calls)
                         num_done += 1
 
-                # windows are processed in genomic batch order: everything
-                # before the next batch's first window is final
-                if pending:
-                    w = pending[0][0][0]
+                # windows complete in genomic batch order: everything
+                # before the next in-flight batch's first window is final
+                if next_first_window is not None:
+                    w = next_first_window
                     with wall.stage("flush"):
                         flushed += self.store.flush_before_pos(
                             w.chrom_index, w.start1, out
                         )
                     if self.checkpoint is not None:
-                        self.checkpoint.save(w.chrom_index, w.start1, num_done)
+                        self.checkpoint.save(w.chrom_index, w.start1,
+                                             num_done)
                 rate = num_done / (time.monotonic() - t_start)
                 LOG.info("batch %d-%d done (%.2f win/s)",
                          lo, lo + len(batch) - 1, rate)
+
+            # software pipeline: batch N's host phase C runs while batch
+            # N+1's pass-1 span dispatches execute on the device (the
+            # device previously idled through phase C + the next prep wait)
+            prev = None
+            while pending:
+                batch, cur_seqs = pending.popleft()
+                top_up()  # keep the prep pipeline full before waiting
+                lo = batch[0].genome_index
+                with wall.stage("prep_wait"):
+                    payloads = self._wait_for(cur_seqs)
+                for p in payloads:
+                    for k, v in p.timer_totals.items():
+                        self.stage_timer.totals[k] += v
+                    for k, v in p.timer_counts.items():
+                        self.stage_timer.counts[k] += v
+                with wall.stage("device"), \
+                        self.stage_timer.stage("genotype_device"):
+                    subs = submit_phase_b(payloads)
+                if prev is not None:
+                    complete_batch(prev, next_first_window=batch[0])
+                prev = (batch, payloads, subs, lo)
+            if prev is not None:
+                complete_batch(prev, next_first_window=None)
         finally:
             self._stop_prep_workers()
 

@@ -100,6 +100,18 @@ def span_indexed_sharded(mesh, dev_pools, read_ix, hap_ix, band_start,
     """One sharded span dispatch over ALL pairs of a group (indexed
     protocol): per-pair results identical to span_indexed_submit
     chunk-by-chunk (dryrun-asserted)."""
+    from lancet2_tpu.ops.evidence_pallas import span_pairs_finalize
+
+    iout = span_indexed_sharded_submit(
+        mesh, dev_pools, read_ix, hap_ix, band_start, tlens, Lt
+    )
+    return span_pairs_finalize(iout, None, len(read_ix))
+
+
+def span_indexed_sharded_submit(mesh, dev_pools, read_ix, hap_ix,
+                                band_start, tlens, Lt: int):
+    """Async half of span_indexed_sharded: returns the device iout handle
+    so callers can overlap host work under the sharded dispatch."""
     import jax
     import jax.numpy as jnp
 
@@ -107,7 +119,6 @@ def span_indexed_sharded(mesh, dev_pools, read_ix, hap_ix, band_start,
         B_TILE,
         _count_dispatch,
         IOUT_W_SPAN,
-        span_pairs_finalize,
     )
 
     n = len(read_ix)
@@ -138,7 +149,7 @@ def span_indexed_sharded(mesh, dev_pools, read_ix, hap_ix, band_start,
     )
     _count_dispatch(rows * (3 * 4 + 8), rows * IOUT_W_SPAN * 4)
     SPMD_STATS["span_sharded"] += 1
-    return span_pairs_finalize(iout, None, n)
+    return iout
 
 
 def make_sharded_evidence_indexed(mesh, nr: int, lq: int, nh: int, lh: int,
