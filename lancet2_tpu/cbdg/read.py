@@ -48,7 +48,9 @@ class Read:
         total_clip = sum(l for op, l in rec.cigar if op == CIGAR_S)
         clip_frac = total_clip / rec.length if rec.length > 0 else 0.0
         return cls(
-            qname=rec.qname,
+            # bytes, matching reads_from_columnar: sort_key must never
+            # compare str against bytes when readers mix access modes
+            qname=rec.qname.encode("ascii", "replace"),
             seq=rec.seq,
             qual=np.asarray(rec.qual, dtype=np.uint8),
             sample_name=sample_name,
@@ -108,28 +110,33 @@ def reads_from_columnar(reader, idxs: np.ndarray, qhashes: np.ndarray,
     is_clipped = clip_frac >= SOFT_CLIP_FRAC_THRESHOLD
     passes = mapqs >= MIN_READ_MAPQ
 
-    out = []
-    for j in range(len(idxs)):
-        s = int(so[j])
-        q = int(qo[j])
-        out.append(Read(
-            qname=qname_pool[q : q + int(ql[j])].tobytes().decode("ascii"),
+    # .tolist() converts every scalar in C; qnames stay BYTES (the only
+    # consumer is the deterministic 6-key sort, and bytes order == ascii
+    # str order == the reference's std::string compare)
+    rows = zip(so.tolist(), qo.tolist(), ql.tolist(), l_seq.tolist(),
+               ref_ids.tolist(), pos.tolist(), mapqs.tolist(),
+               flags.tolist(), tlens.tolist(), is_clipped.tolist(),
+               passes.tolist(), qhashes.tolist())
+    return [
+        Read(
+            qname=qname_pool[q : q + qn].tobytes(),
             seq=None,
-            qual=qual_pool[s : s + int(l_seq[j])],
+            qual=qual_pool[s : s + l],
             sample_name=sample_name,
             sample_index=sample_index,
             tag=tag,
-            chrom_index=int(ref_ids[j]),
-            start0=int(pos[j]),
-            mapq=int(mapqs[j]),
-            sam_flag=int(flags[j]),
-            insert_size=int(tlens[j]),
-            is_soft_clipped=bool(is_clipped[j]),
-            passes_aln_filters=bool(passes[j]),
-            codes=codes_pool[s : s + int(l_seq[j])],
-            qname_hash=int(qhashes[j]),
-        ))
-    return out
+            chrom_index=rid,
+            start0=p,
+            mapq=mq,
+            sam_flag=fl,
+            insert_size=tl,
+            is_soft_clipped=clip,
+            passes_aln_filters=ok,
+            codes=codes_pool[s : s + l],
+            qname_hash=qh,
+        )
+        for s, q, qn, l, rid, p, mq, fl, tl, clip, ok, qh in rows
+    ]
 
 
 def sort_key(read: Read):

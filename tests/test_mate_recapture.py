@@ -103,7 +103,7 @@ class TestMateRecapture:
         with_mates = _collect(fixture, extract_pairs=True)
         base_keys = {(r.qname, r.start0) for r in base}
         extra = {(r.qname, r.start0) for r in with_mates} - base_keys
-        assert extra == {("da", 4200), ("db", 3500), ("dc", 5100), ("sa1", 4600)}
+        assert extra == {(b"da", 4200), (b"db", 3500), (b"dc", 5100), (b"sa1", 4600)}
 
     def test_proper_pair_without_sa_not_recaptured(self, fixture):
         with_mates = _collect(fixture, extract_pairs=True)
