@@ -92,7 +92,31 @@ def bench_e2e_pipeline(ref_kb: int, threads: int = 8, n_runs: int = 3):
     # previously landed in run 1 and halved its rate
     warm_kb = min(ref_kb, 200)
     run(region=f"{fx['chrom']}:1-{warm_kb * 1000}")
-    runs = [run() for _ in range(n_runs)]
+
+    # Hang guard: one bench invocation was observed to wedge between timed
+    # runs (run N completed, run N+1 never logged its first line, ~25% CPU).
+    # Each timed run executes on a watchdog thread: a >300s stall (normal
+    # full run: ~35s) dumps every thread's stack to stderr for diagnosis and
+    # the bench falls back to whatever runs completed — the driver always
+    # gets the JSON line.
+    import faulthandler
+    import sys
+    import threading
+
+    runs = []
+    for ri in range(n_runs):
+        box: list = []
+        t = threading.Thread(target=lambda: box.append(run()), daemon=True)
+        t.start()
+        t.join(timeout=300)
+        if t.is_alive() or not box:
+            print(f"[bench] timed run {ri} stalled >300s; dumping stacks "
+                  "and continuing with completed runs", file=sys.stderr)
+            faulthandler.dump_traceback(all_threads=True)
+            break
+        runs.append(box[0])
+    if not runs:
+        raise RuntimeError("no timed e2e run completed (all stalled)")
     return runs, fx
 
 

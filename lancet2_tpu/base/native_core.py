@@ -85,6 +85,15 @@ def _ensure_lib():
             _i64p,                                 # n_comps
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.l2t_assemble_full.restype = ctypes.c_int64
+        lib.l2t_assemble_full.argtypes = (
+            list(lib.l2t_assemble_pass.argtypes)
+            + [_f64p, _i64p, _u8p,                 # c_metrics, c_ref_weight, c_limit
+               _i32p, _u8p, _i64p,                 # h_comp, h_seq, h_seq_off
+               _i64p, _i64p, _i64p, _i64p,         # h_cov, h_wt_w, h_wt_n, h_cov_off
+               _i64p, _i64p,                       # n_haps, retry
+               ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        )
         lib.l2t_prune_component.restype = ctypes.c_int64
         lib.l2t_prune_component.argtypes = [
             ctypes.c_int64, _u64p, _u8p, _i64p, _u8p, _u8p,  # n, nids, seq, off, sign, label
@@ -253,6 +262,114 @@ def assemble_pass(codes, offsets, quals, labels, is_read, sample_idx, tags,
         "c_src_off": c_src_off[:nc],
         "c_anchor_len": c_anchor_len[:nc],
         "c_id": c_id[:nc],
+    }
+
+
+def assemble_full(codes, offsets, quals, labels, is_read, sample_idx, tags,
+                  qhash, err_table, k: int, num_samples: int,
+                  min_node_cov: int, label_case: int, label_ref: int,
+                  min_anchor_cov: int, min_anchor_len: int):
+    """Fused assemble + native haplotype enumeration for one (window, k)
+    attempt: everything assemble_pass does PLUS per-component complexity
+    metrics, cycle/complexity retry detection, and the confidence-ordered
+    walk enumeration — the fast path never materializes Python node objects
+    (cbdg/{traversal,max_flow,complexity}.py parity, tested in
+    tests/test_native_walks.py).
+
+    Returns None when native is unavailable or an output capacity was
+    exceeded (callers fall back to assemble_pass + Python walks), else a
+    dict: retry flag, per-comp anchors/metrics/ref-weights, and flat per-hap
+    arrays (seq codes, node coverages, run-length weights)."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lens = np.diff(offsets)
+    n_occ = int(np.maximum(lens - k + 1, 0).sum())
+    if n_occ == 0:
+        return {"n_nodes": 0, "n_comps": 0, "n_haps": 0, "retry": False}
+    cap_nodes = n_occ
+    cap_seq = n_occ * k
+    cap_edges = n_occ + 8
+    cap_comps = 256
+    cap_haps = 1024
+    cap_hseq = cap_haps * 8192
+    cap_hcov = cap_haps * 1024
+
+    out_nid = np.empty(cap_nodes, np.uint64)
+    out_seq = np.empty(cap_seq, np.uint8)
+    out_seq_off = np.zeros(cap_nodes + 1, np.int64)
+    out_sign = np.empty(cap_nodes, np.uint8)
+    out_label = np.empty(cap_nodes, np.uint8)
+    out_counts = np.empty(cap_nodes * num_samples, np.int64)
+    out_roles = np.empty(cap_nodes * 2, np.int64)
+    out_comp = np.empty(cap_nodes, np.int32)
+    out_e_dst = np.empty(cap_edges, np.uint64)
+    out_e_kind = np.empty(cap_edges, np.uint8)
+    out_e_off = np.zeros(cap_nodes + 1, np.int64)
+    c_source = np.empty(cap_comps, np.uint64)
+    c_sink = np.empty(cap_comps, np.uint64)
+    c_src_off = np.empty(cap_comps, np.int64)
+    c_anchor_len = np.empty(cap_comps, np.int64)
+    c_id = np.empty(cap_comps, np.int32)
+    n_comps = np.zeros(1, np.int64)
+    c_metrics = np.zeros(cap_comps * 6, np.float64)
+    c_ref_weight = np.zeros(cap_comps, np.int64)
+    c_limit = np.zeros(cap_comps, np.uint8)
+    h_comp = np.empty(cap_haps, np.int32)
+    h_seq = np.empty(cap_hseq, np.uint8)
+    h_seq_off = np.zeros(cap_haps + 1, np.int64)
+    h_cov = np.empty(cap_hcov, np.int64)
+    h_wt_w = np.empty(cap_hcov, np.int64)
+    h_wt_n = np.empty(cap_hcov, np.int64)
+    h_cov_off = np.zeros(cap_haps + 1, np.int64)
+    n_haps = np.zeros(1, np.int64)
+    retry = np.zeros(1, np.int64)
+
+    n_nodes = lib.l2t_assemble_full(
+        np.ascontiguousarray(codes, np.uint8), offsets,
+        np.ascontiguousarray(quals, np.uint8),
+        np.ascontiguousarray(labels, np.uint8),
+        np.ascontiguousarray(is_read, np.uint8),
+        np.ascontiguousarray(sample_idx, np.int32),
+        np.ascontiguousarray(tags, np.uint8),
+        np.ascontiguousarray(qhash, np.uint64),
+        np.ascontiguousarray(err_table, np.float64),
+        len(offsets) - 1, k, num_samples, min_node_cov,
+        label_case, label_ref, min_anchor_cov, min_anchor_len,
+        out_nid, out_seq, out_seq_off, out_sign, out_label,
+        out_counts, out_roles, out_comp,
+        out_e_dst, out_e_kind, out_e_off,
+        c_source, c_sink, c_src_off, c_anchor_len, c_id, n_comps,
+        cap_nodes, cap_seq, cap_edges, cap_comps,
+        c_metrics, c_ref_weight, c_limit,
+        h_comp, h_seq, h_seq_off, h_cov, h_wt_w, h_wt_n, h_cov_off,
+        n_haps, retry, cap_haps, cap_hseq, cap_hcov,
+    )
+    if n_nodes < 0:
+        return None
+    nc = int(n_comps[0])
+    nh = int(n_haps[0])
+    return {
+        "n_nodes": int(n_nodes),
+        "n_comps": nc,
+        "retry": bool(retry[0]),
+        "n_haps": nh,
+        "c_source": c_source[:nc],
+        "c_sink": c_sink[:nc],
+        "c_src_off": c_src_off[:nc],
+        "c_anchor_len": c_anchor_len[:nc],
+        "c_id": c_id[:nc],
+        "c_metrics": c_metrics[: nc * 6].reshape(nc, 6),
+        "c_ref_weight": c_ref_weight[:nc],
+        "c_limit": c_limit[:nc].astype(bool),
+        "h_comp": h_comp[:nh],
+        "h_seq": h_seq,
+        "h_seq_off": h_seq_off[: nh + 1],
+        "h_cov": h_cov,
+        "h_wt_w": h_wt_w,
+        "h_wt_n": h_wt_n,
+        "h_cov_off": h_cov_off[: nh + 1],
     }
 
 

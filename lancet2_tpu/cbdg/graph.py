@@ -380,6 +380,24 @@ class Graph:
                 is_read[si] = 1
                 sample_idx[si] = sidx
 
+        # fully-native post-prune path: traversal/cycle/complexity/walks run
+        # in C++ and no Python node objects are ever materialized (bit-exact
+        # vs the stepwise path, tests/test_native_walks.py); falls back to
+        # assemble_pass + Python walks on capacity overflow
+        full = native_core.assemble_full(
+            codes_buf, offsets, quals_buf, labels, is_read, sample_idx, tags,
+            qhashes, PHRED_TO_ERROR_PROB, k, num_samples,
+            self.params.min_node_cov, LABEL_CASE, LABEL_REFERENCE,
+            self.params.min_anchor_cov, DEFAULT_MIN_ANCHOR_LENGTH,
+        )
+        if full is not None:
+            if full["retry"]:
+                return True, True
+            if full["n_comps"] == 0:
+                return True, False
+            self._materialize_full_results(full, ref_codes, results)
+            return True, False
+
         out = native_core.assemble_pass(
             codes_buf, offsets, quals_buf, labels, is_read, sample_idx, tags,
             qhashes, PHRED_TO_ERROR_PROB, k, num_samples,
@@ -432,6 +450,53 @@ class Graph:
                 continue
             results.append(ComponentResult(haps, gcplx, src_off))
         return True, False
+
+    def _materialize_full_results(self, full: dict, ref_codes, results) -> None:
+        """Build ComponentResults from l2t_assemble_full's flat hap arrays.
+
+        Path objects (float stats incl. finalize()) are reconstructed in
+        Python from the raw coverage/weight arrays, so every downstream
+        value is computed by the same code as the stepwise path. Walks are
+        not carried (the fast path runs only with snapshots/probe off, the
+        sole walk consumers)."""
+        h_comp = full["h_comp"]
+        h_seq, h_seq_off = full["h_seq"], full["h_seq_off"]
+        h_cov, h_cov_off = full["h_cov"], full["h_cov_off"]
+        h_wt_w, h_wt_n = full["h_wt_w"], full["h_wt_n"]
+        n_haps = full["n_haps"]
+        haps_by_comp: dict[int, list[EnumeratedHaplotype]] = {}
+        for hi in range(n_haps):
+            path = Path()
+            path.sequence = decode(h_seq[h_seq_off[hi] : h_seq_off[hi + 1]])
+            lo, hi2 = int(h_cov_off[hi]), int(h_cov_off[hi + 1])
+            path.node_coverages = [int(x) for x in h_cov[lo:hi2]]
+            path.node_weights = [
+                (int(w), int(n)) for w, n in zip(h_wt_w[lo:hi2], h_wt_n[lo:hi2])
+            ]
+            path.finalize()
+            haps_by_comp.setdefault(int(h_comp[hi]), []).append(
+                EnumeratedHaplotype(path=path, walk=[])
+            )
+        for c in range(full["n_comps"]):
+            haps = haps_by_comp.get(c, [])
+            if not haps:
+                continue
+            src_off = int(full["c_src_off"][c])
+            anchor_len = int(full["c_anchor_len"][c])
+            m = full["c_metrics"][c]
+            gcplx = GraphComplexity(
+                cyclomatic_complexity=int(m[0]),
+                num_branch_points=int(m[1]),
+                max_single_dir_degree=int(m[2]),
+                unitig_ratio=float(m[3]),
+                coverage_cv=float(m[4]),
+                tip_to_path_cov_ratio=float(m[5]),
+            )
+            ref_anchor_seq = decode(ref_codes[src_off : src_off + anchor_len])
+            haps = self._finalize_haplotypes(
+                haps, ref_anchor_seq, int(full["c_ref_weight"][c])
+            )
+            results.append(ComponentResult(haps, gcplx, src_off))
 
     def _buffer_final_snapshot(self, comp_id: int, haps, k: int) -> None:
         if self.shard_writer is None:
@@ -1158,11 +1223,25 @@ class Graph:
             probe.set_status(comp_id, "traversal_limit")
         if not haps:
             return haps
+        num_samples = self.params.num_samples
+        confidences = [
+            node.confidence(num_samples)
+            for node in self.nodes.values()
+            if node.comp_id == comp_id and node.has_tag(LABEL_REFERENCE)
+        ]
+        ref_weight = median_u32(confidences) if confidences else 1
+        return self._finalize_haplotypes(haps, decode(ref_anchor_codes),
+                                         ref_weight)
 
-        # ALTs sorted by descending weakest-link confidence; duplicates keep
-        # the highest-MinWeight copy; drop paths identical to the ref anchor.
+    def _finalize_haplotypes(self, haps, ref_anchor_seq: str,
+                             ref_weight: int) -> list[EnumeratedHaplotype]:
+        """Sort/dedup enumerated walks + prepend the REF haplotype.
+
+        ALTs sorted by descending weakest-link confidence; duplicates keep
+        the highest-MinWeight copy; paths identical to the ref anchor drop.
+        The REF path is weighted by the median surviving REF-node confidence
+        (reference: graph.cpp:902-924)."""
         haps.sort(key=lambda h: -h.path.min_weight())
-        ref_anchor_seq = decode(ref_anchor_codes)
         seen: set[str] = set()
         deduped = []
         for hap in haps:
@@ -1173,21 +1252,9 @@ class Graph:
             deduped.append(hap)
         haps = deduped
 
-        haps.insert(0, self._build_ref_haplotype(comp_id, ref_anchor_seq))
+        ref_path = Path()
+        ref_path.append_sequence(ref_anchor_seq)
+        ref_path.add_node_weight(ref_weight, len(ref_anchor_seq))
+        ref_path.finalize()
+        haps.insert(0, EnumeratedHaplotype(path=ref_path, walk=[]))
         return haps
-
-    def _build_ref_haplotype(self, comp_id: int, ref_anchor_seq: str) -> EnumeratedHaplotype:
-        """REF path weighted by median surviving REF-node confidence
-        (reference: graph.cpp:902-924)."""
-        num_samples = self.params.num_samples
-        confidences = [
-            node.confidence(num_samples)
-            for node in self.nodes.values()
-            if node.comp_id == comp_id and node.has_tag(LABEL_REFERENCE)
-        ]
-        ref_weight = median_u32(confidences) if confidences else 1
-        path = Path()
-        path.append_sequence(ref_anchor_seq)
-        path.add_node_weight(ref_weight, len(ref_anchor_seq))
-        path.finalize()
-        return EnumeratedHaplotype(path=path, walk=[])

@@ -784,6 +784,329 @@ struct PruneCtx {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Haplotype enumeration (cbdg/{traversal,max_flow,complexity}.py parity)
+// ---------------------------------------------------------------------------
+// Exact ports of the Python post-prune stages so the fast path never
+// materializes Python node objects: CSR traversal index, 3-color cycle DFS,
+// complexity guard metrics (Welford op-order replicated), and the
+// confidence-ordered BFS walk enumeration (reference: cbdg/max_flow.cpp).
+// Outputs are raw per-hap arrays; Path stats/sort/dedup stay in Python on
+// the returned arrays, so downstream float semantics are unchanged.
+
+struct OnlineStatsC {
+  // Welford, same op order as base/stats.py::OnlineStats.add
+  int64_t n = 0;
+  double m1 = 0.0, m2 = 0.0;
+  void add(double v) {
+    int64_t old_n = n;
+    n += 1;
+    double delta = v - m1;
+    double norm = delta / (double)n;
+    m1 += norm;
+    m2 += delta * norm * (double)old_n;
+  }
+  bool empty() const { return n == 0; }
+  double stddev() const {
+    return n < 2 ? 0.0 : std::sqrt(m2 / (double)(n - 1));
+  }
+};
+
+inline int64_t node_support(const PNode& n) {
+  int64_t t = 0;
+  for (int64_t c : n.counts) t += c;
+  return t;
+}
+
+// cbdg/graph.py::Node.confidence parity (incl. int() truncation)
+inline int64_t node_confidence(const PNode& n, int64_t num_samples,
+                               uint8_t label_ref) {
+  int64_t total = 0, confirming = 0;
+  bool any_pos = false, all_le1 = true;
+  for (int64_t c : n.counts) {
+    total += c;
+    if (c > 0) { any_pos = true; ++confirming; }
+    if (c > 1) all_le1 = false;
+  }
+  if (any_pos && all_le1) return 1;
+  if (total == 0) return 0;
+  double conc = (double)confirming /
+                (double)std::max<int64_t>(num_samples, 1);
+  int64_t base = (int64_t)((double)total * conc);
+  return base + ((n.label & label_ref) ? 1 : 0);
+}
+
+// base/stats.py::median_u32 parity (values are nonnegative)
+inline int64_t median_i64(std::vector<int64_t> v) {
+  if (v.empty()) return 0;
+  if (v.size() == 1) return v[0];
+  std::sort(v.begin(), v.end());
+  size_t half = v.size() / 2;
+  if (v.size() % 2 == 1) return v[half];
+  return (v[half] + v[half - 1]) / 2;
+}
+
+struct TravC {
+  std::vector<int32_t> slot_of_flat;  // flat node -> PruneCtx slot
+  std::vector<int64_t> adj_start, adj_cnt;
+  std::vector<int64_t> adj_dst_state, adj_ordinal;
+  struct OEdge { int32_t src_flat, dst_flat; uint8_t kind; };
+  std::vector<OEdge> orig;
+  int64_t src_state = 0;
+  int64_t snk_flat = 0;
+};
+
+// cbdg/traversal.py::build_traversal_index parity: flat order = alive
+// members in table order; adjacency fill order = per-node edge-list order;
+// ordinals sequential in encounter order (each directed edge is unique).
+bool build_trav(PruneCtx& ctx, const std::vector<int32_t>& mem_alive,
+                uint64_t source_id, uint64_t sink_id, TravC& tv) {
+  std::unordered_map<uint64_t, int32_t> flat_of;
+  flat_of.reserve(mem_alive.size() * 2);
+  tv.slot_of_flat = mem_alive;
+  for (size_t f = 0; f < mem_alive.size(); ++f)
+    flat_of.emplace(ctx.nodes[mem_alive[f]].nid, (int32_t)f);
+  int64_t ns = 2 * (int64_t)mem_alive.size();
+  std::vector<int64_t> counts(ns, 0);
+  for (size_t f = 0; f < mem_alive.size(); ++f) {
+    const PNode& node = ctx.nodes[mem_alive[f]];
+    for (const auto& e : node.edges) {
+      if (!flat_of.count(e.dst)) continue;
+      counts[2 * f + src_sign(e.kind)] += 1;
+    }
+  }
+  tv.adj_start.assign(ns, 0);
+  tv.adj_cnt.assign(ns, 0);
+  int64_t total = 0;
+  for (int64_t s = 0; s < ns; ++s) { tv.adj_start[s] = total; total += counts[s]; }
+  tv.adj_dst_state.assign(total, 0);
+  tv.adj_ordinal.assign(total, 0);
+  tv.orig.clear();
+  for (size_t f = 0; f < mem_alive.size(); ++f) {
+    const PNode& node = ctx.nodes[mem_alive[f]];
+    for (const auto& e : node.edges) {
+      auto it = flat_of.find(e.dst);
+      if (it == flat_of.end()) continue;
+      int64_t ss = 2 * (int64_t)f + src_sign(e.kind);
+      int64_t ds = 2 * (int64_t)it->second + dst_sign(e.kind);
+      int64_t ordinal = (int64_t)tv.orig.size();
+      tv.orig.push_back(TravC::OEdge{(int32_t)f, it->second, e.kind});
+      tv.adj_dst_state[tv.adj_start[ss] + tv.adj_cnt[ss]] = ds;
+      tv.adj_ordinal[tv.adj_start[ss] + tv.adj_cnt[ss]] = ordinal;
+      tv.adj_cnt[ss] += 1;
+    }
+  }
+  auto si = flat_of.find(source_id);
+  auto ki = flat_of.find(sink_id);
+  if (si == flat_of.end() || ki == flat_of.end()) return false;
+  tv.src_state = 2 * (int64_t)si->second +
+                 ctx.nodes[mem_alive[si->second]].sign;
+  tv.snk_flat = ki->second;
+  return true;
+}
+
+// cbdg/traversal.py::has_cycle parity (iterative 3-color DFS)
+bool trav_has_cycle(const TravC& tv) {
+  int64_t ns = (int64_t)tv.adj_start.size();
+  if (ns == 0) return false;
+  std::vector<uint8_t> color(ns, 0);  // 0 white, 1 gray, 2 black
+  std::vector<std::pair<int64_t, int64_t>> stack;
+  color[tv.src_state] = 1;
+  stack.push_back({tv.src_state, 0});
+  while (!stack.empty()) {
+    auto& fr = stack.back();
+    int64_t state = fr.first;
+    if (fr.second >= tv.adj_cnt[state]) {
+      color[state] = 2;
+      stack.pop_back();
+      continue;
+    }
+    int64_t dst = tv.adj_dst_state[tv.adj_start[state] + fr.second];
+    fr.second += 1;
+    if (color[dst] == 1) return true;
+    if (color[dst] != 0) continue;
+    color[dst] = 1;
+    stack.push_back({dst, 0});
+  }
+  return false;
+}
+
+struct GCplxC {
+  int64_t cc = 0, bp = 0, maxdeg = 0;
+  double unitig_ratio = 0.0, cov_cv = 0.0, tip_ratio = 0.0;
+  bool is_complex() const { return cc >= 50 && bp >= 50; }
+};
+
+// cbdg/complexity.py::compute_component_complexity parity (node order =
+// alive members in table order, matching the Python dict iteration)
+GCplxC compute_complexity(PruneCtx& ctx, const std::vector<int32_t>& mem) {
+  GCplxC out;
+  int64_t num_nodes = 0, num_edges = 0, unitig_nodes = 0;
+  OnlineStatsC cov_stats, tip_stats, unitig_stats;
+  for (int32_t slot : mem) {
+    const PNode& node = ctx.nodes[slot];
+    ++num_nodes;
+    uint8_t dflt_sign = node.sign;
+    int64_t dflt = 0;
+    for (const auto& e : node.edges)
+      if (src_sign(e.kind) == dflt_sign) ++dflt;
+    int64_t oppo = (int64_t)node.edges.size() - dflt;
+    num_edges += dflt + oppo;
+    out.maxdeg = std::max(out.maxdeg, std::max(dflt, oppo));
+    if (dflt >= 2 || oppo >= 2) out.bp += 1;
+    if (dflt == 1 && oppo == 1) ++unitig_nodes;
+    double cov = (double)node_support(node);
+    cov_stats.add(cov);
+    if (dflt == 0 || oppo == 0) tip_stats.add(cov);
+    else if (dflt == 1 && oppo == 1) unitig_stats.add(cov);
+  }
+  num_edges /= 2;
+  out.cc = num_edges >= num_nodes ? num_edges - num_nodes + 1 : 0;
+  out.unitig_ratio = num_nodes ? (double)unitig_nodes / (double)num_nodes : 0.0;
+  if (!cov_stats.empty() && cov_stats.m1 > 0.0)
+    out.cov_cv = cov_stats.stddev() / cov_stats.m1;
+  if (!tip_stats.empty() && !unitig_stats.empty() && unitig_stats.m1 > 0.0)
+    out.tip_ratio = tip_stats.m1 / unitig_stats.m1;
+  return out;
+}
+
+// cbdg/max_flow.py::MaxFlow parity: arena BFS, stable confidence-descending
+// branch expansion (untraversed first), 2^20 visit cap.
+struct WalkEnumC {
+  const TravC& tv;
+  PruneCtx& ctx;
+  std::vector<uint8_t> traversed;
+  std::vector<int64_t> conf;
+  bool hit_limit = false;
+  struct A { int64_t ordinal, dst_state, parent, score; };
+  std::vector<A> arena;
+  std::vector<int64_t> frontier;
+  std::vector<std::pair<int64_t, int64_t>> outs;
+
+  WalkEnumC(const TravC& t, PruneCtx& c, int64_t num_samples,
+            uint8_t label_ref)
+      : tv(t), ctx(c) {
+    traversed.assign(tv.orig.size(), 0);
+    conf.resize(tv.slot_of_flat.size());
+    for (size_t f = 0; f < tv.slot_of_flat.size(); ++f)
+      conf[f] =
+          node_confidence(ctx.nodes[tv.slot_of_flat[f]], num_samples, label_ref);
+  }
+
+  void enqueue(int64_t state, int64_t parent_ai, int64_t parent_score) {
+    int64_t cnt = tv.adj_cnt[state];
+    if (cnt == 0) return;
+    outs.clear();
+    int64_t st = tv.adj_start[state];
+    for (int64_t i = 0; i < cnt; ++i)
+      outs.push_back({tv.adj_dst_state[st + i], tv.adj_ordinal[st + i]});
+    std::stable_sort(outs.begin(), outs.end(),
+                     [&](const std::pair<int64_t, int64_t>& a,
+                         const std::pair<int64_t, int64_t>& b) {
+                       return conf[a.first / 2] > conf[b.first / 2];
+                     });
+    for (const auto& o : outs) {
+      if (traversed[o.second]) continue;
+      arena.push_back(A{o.second, o.first, parent_ai, parent_score + 1});
+      frontier.push_back((int64_t)arena.size() - 1);
+    }
+    for (const auto& o : outs) {
+      if (!traversed[o.second]) continue;
+      arena.push_back(A{o.second, o.first, parent_ai, parent_score});
+      frontier.push_back((int64_t)arena.size() - 1);
+    }
+  }
+
+  bool next_path(std::vector<int64_t>& walk) {
+    arena.clear();
+    frontier.clear();
+    size_t fhead = 0;
+    enqueue(tv.src_state, -1, 0);
+    int64_t nvisits = 0, best = -1;
+    while (fhead < frontier.size()) {
+      ++nvisits;
+      if (nvisits > (1ll << 20)) { hit_limit = true; break; }
+      int64_t ai = frontier[fhead++];
+      A a = arena[ai];
+      if (a.dst_state / 2 == tv.snk_flat) {
+        if (a.score == 0) continue;
+        best = ai;
+        break;
+      }
+      enqueue(a.dst_state, ai, a.score);
+    }
+    if (best < 0) return false;
+    walk.clear();
+    for (int64_t ai = best; ai != -1; ai = arena[ai].parent) {
+      walk.push_back(arena[ai].ordinal);
+      traversed[arena[ai].ordinal] = 1;
+    }
+    std::reverse(walk.begin(), walk.end());
+    return true;
+  }
+};
+
+// cbdg/max_flow.py::MaxFlow._build_sequence parity; appends one hap's
+// sequence / node coverages / run-length weights to the flat outputs.
+// Returns false on output-capacity overflow.
+bool emit_hap(PruneCtx& ctx, const TravC& tv, const std::vector<int64_t>& walk,
+              int64_t k, const std::vector<int64_t>& conf, int64_t comp_ord,
+              int32_t* h_comp, uint8_t* h_seq, int64_t* h_seq_off,
+              int64_t* h_cov, int64_t* h_wt_w, int64_t* h_wt_n,
+              int64_t* h_cov_off, int64_t* n_haps, int64_t* seq_pos,
+              int64_t* cov_pos, int64_t cap_haps, int64_t cap_hseq,
+              int64_t cap_hcov) {
+  if (walk.empty()) return true;
+  if (*n_haps >= cap_haps) return false;
+  const auto& first = tv.orig[walk[0]];
+  const PNode& src = ctx.nodes[tv.slot_of_flat[first.src_flat]];
+  int64_t slen = (int64_t)src.seq.size();
+  int64_t sp = *seq_pos, cp = *cov_pos;
+  if (sp + slen > cap_hseq || cp + 1 + (int64_t)walk.size() > cap_hcov)
+    return false;
+  if (src_sign(first.kind) == 0) {
+    std::memcpy(h_seq + sp, src.seq.data(), (size_t)slen);
+  } else {
+    for (int64_t i = 0; i < slen; ++i) {
+      uint8_t b = src.seq[slen - 1 - i];
+      h_seq[sp + i] = COMPLEMENT[b <= 4 ? b : 4];
+    }
+  }
+  sp += slen;
+  h_cov[cp] = node_support(src);
+  h_wt_w[cp] = conf[first.src_flat];
+  h_wt_n[cp] = slen;
+  ++cp;
+  for (size_t wi = 0; wi < walk.size(); ++wi) {
+    const auto& conn = tv.orig[walk[wi]];
+    const PNode& dstn = ctx.nodes[tv.slot_of_flat[conn.dst_flat]];
+    int64_t dl = (int64_t)dstn.seq.size();
+    int64_t ul = dl - (k - 1);
+    if (sp + ul > cap_hseq) return false;
+    if (dst_sign(conn.kind) == 0) {
+      std::memcpy(h_seq + sp, dstn.seq.data() + (k - 1), (size_t)ul);
+    } else {
+      // revcomp(dseq)[k-1:] — element i complements dseq[dl-1-(k-1+i)]
+      for (int64_t i = 0; i < ul; ++i) {
+        uint8_t b = dstn.seq[dl - 1 - (k - 1 + i)];
+        h_seq[sp + i] = COMPLEMENT[b <= 4 ? b : 4];
+      }
+    }
+    sp += ul;
+    h_cov[cp] = node_support(dstn);
+    h_wt_w[cp] = conf[conn.dst_flat];
+    h_wt_n[cp] = ul;
+    ++cp;
+  }
+  h_comp[*n_haps] = (int32_t)comp_ord;
+  *n_haps += 1;
+  h_seq_off[*n_haps] = sp;
+  h_cov_off[*n_haps] = cp;
+  *seq_pos = sp;
+  *cov_pos = cp;
+  return true;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -803,7 +1126,7 @@ struct PruneCtx {
 // component, nodes keep first-occurrence order (the Python table order
 // downstream traversal indexing depends on).
 
-extern "C" int64_t l2t_assemble_pass(
+static int64_t assemble_impl(
     // sequences (same layout as l2t_kmer_pass)
     const uint8_t* codes, const int64_t* offsets, const uint8_t* quals,
     const uint8_t* labels, const uint8_t* is_read, const int32_t* sample_idx,
@@ -821,7 +1144,23 @@ extern "C" int64_t l2t_assemble_pass(
     int64_t* out_c_src_off, int64_t* out_c_anchor_len, int32_t* out_c_id,
     int64_t* out_n_comps,
     // capacities
-    int64_t cap_nodes, int64_t cap_seq, int64_t cap_edges, int64_t cap_comps) {
+    int64_t cap_nodes, int64_t cap_seq, int64_t cap_edges, int64_t cap_comps,
+    // optional haplotype-enumeration outputs (all null => prune-only pass).
+    // c_metrics f64[cap_comps*6] = cc, bp, maxdeg, unitig_ratio, cov_cv,
+    // tip_ratio; out_retry 1 => a cycle/complexity guard fired (caller
+    // retries at the next k, every other output is void).
+    double* c_metrics, int64_t* c_ref_weight, uint8_t* c_limit,
+    int32_t* h_comp, uint8_t* h_seq, int64_t* h_seq_off,
+    int64_t* h_cov, int64_t* h_wt_w, int64_t* h_wt_n, int64_t* h_cov_off,
+    int64_t* out_n_haps, int64_t* out_retry,
+    int64_t cap_haps, int64_t cap_hseq, int64_t cap_hcov) {
+  const bool enumerate = h_comp != nullptr;
+  if (enumerate) {
+    *out_n_haps = 0;
+    *out_retry = 0;
+    h_seq_off[0] = 0;
+    h_cov_off[0] = 0;
+  }
   // ---- phase 1: k-mer pass (occurrence scan, counts, survivor flags) ----
   int64_t n_occ = 0;
   for (int64_t si = 0; si < n_seqs; ++si) {
@@ -1054,6 +1393,45 @@ extern "C" int64_t l2t_assemble_pass(
       if (comp_of[i] != comp_id && saved_in[i]) ctx.nodes[i].in_table = true;
 
     if (n_comps >= cap_comps) return -1;
+
+    if (enumerate) {
+      // post-prune stages in the exact Python order: traversal index ->
+      // cycle check -> complexity guard -> walk enumeration
+      std::vector<int32_t> mem_alive;
+      for (int32_t i : members)
+        if (ctx.nodes[i].in_table) mem_alive.push_back(i);
+      TravC tv;
+      if (!build_trav(ctx, mem_alive, src_id, sink_id, tv)) return -1;
+      if (trav_has_cycle(tv)) { *out_retry = 1; *out_n_comps = 0; return 0; }
+      GCplxC g = compute_complexity(ctx, mem_alive);
+      if (g.is_complex()) { *out_retry = 1; *out_n_comps = 0; return 0; }
+      c_metrics[n_comps * 6 + 0] = (double)g.cc;
+      c_metrics[n_comps * 6 + 1] = (double)g.bp;
+      c_metrics[n_comps * 6 + 2] = (double)g.maxdeg;
+      c_metrics[n_comps * 6 + 3] = g.unitig_ratio;
+      c_metrics[n_comps * 6 + 4] = g.cov_cv;
+      c_metrics[n_comps * 6 + 5] = g.tip_ratio;
+      std::vector<int64_t> ref_confs;
+      for (int32_t slot : mem_alive) {
+        const PNode& n = ctx.nodes[slot];
+        if (n.label & label_ref)
+          ref_confs.push_back(node_confidence(n, num_samples, label_ref));
+      }
+      c_ref_weight[n_comps] = ref_confs.empty() ? 1 : median_i64(ref_confs);
+      WalkEnumC we(tv, ctx, num_samples, label_ref);
+      std::vector<int64_t> walk;
+      int64_t hap_seq_pos = *out_n_haps > 0 ? h_seq_off[*out_n_haps] : 0;
+      int64_t hap_cov_pos = *out_n_haps > 0 ? h_cov_off[*out_n_haps] : 0;
+      while (we.next_path(walk)) {
+        if (!emit_hap(ctx, tv, walk, k, we.conf, n_comps, h_comp, h_seq,
+                      h_seq_off, h_cov, h_wt_w, h_wt_n, h_cov_off,
+                      out_n_haps, &hap_seq_pos, &hap_cov_pos, cap_haps,
+                      cap_hseq, cap_hcov))
+          return -1;
+      }
+      c_limit[n_comps] = we.hit_limit ? 1 : 0;
+    }
+
     out_c_source[n_comps] = src_id;
     out_c_sink[n_comps] = sink_id;
     out_c_src_off[n_comps] = src_off;
@@ -1091,6 +1469,70 @@ extern "C" int64_t l2t_assemble_pass(
   }
   *out_n_comps = n_comps;
   return n_out_nodes;
+}
+
+extern "C" int64_t l2t_assemble_pass(
+    const uint8_t* codes, const int64_t* offsets, const uint8_t* quals,
+    const uint8_t* labels, const uint8_t* is_read, const int32_t* sample_idx,
+    const uint8_t* tags, const uint64_t* qhash, const double* err_table,
+    int64_t n_seqs, int64_t k, int64_t num_samples, int64_t min_node_cov,
+    uint8_t label_case, uint8_t label_ref,
+    int64_t min_anchor_cov, int64_t min_anchor_len,
+    uint64_t* out_nid, uint8_t* out_seq, int64_t* out_seq_off,
+    uint8_t* out_sign, uint8_t* out_label, int64_t* out_counts,
+    int64_t* out_roles, int32_t* out_comp,
+    uint64_t* out_e_dst, uint8_t* out_e_kind, int64_t* out_e_off,
+    uint64_t* out_c_source, uint64_t* out_c_sink,
+    int64_t* out_c_src_off, int64_t* out_c_anchor_len, int32_t* out_c_id,
+    int64_t* out_n_comps,
+    int64_t cap_nodes, int64_t cap_seq, int64_t cap_edges, int64_t cap_comps) {
+  return assemble_impl(
+      codes, offsets, quals, labels, is_read, sample_idx, tags, qhash,
+      err_table, n_seqs, k, num_samples, min_node_cov, label_case, label_ref,
+      min_anchor_cov, min_anchor_len, out_nid, out_seq, out_seq_off, out_sign,
+      out_label, out_counts, out_roles, out_comp, out_e_dst, out_e_kind,
+      out_e_off, out_c_source, out_c_sink, out_c_src_off, out_c_anchor_len,
+      out_c_id, out_n_comps, cap_nodes, cap_seq, cap_edges, cap_comps,
+      nullptr, nullptr, nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
+      nullptr, nullptr, nullptr, nullptr, 0, 0, 0);
+}
+
+// Fused assemble + haplotype enumeration: everything l2t_assemble_pass does
+// PLUS per-component traversal/cycle/complexity and the confidence-ordered
+// walk enumeration, emitting raw per-hap arrays (sequence codes, node
+// coverages, run-length weights). The Python caller rebuilds Path objects
+// from these arrays (float stats stay in Python) and never materializes
+// node objects on the fast path. out_retry=1 => retry at the next k.
+extern "C" int64_t l2t_assemble_full(
+    const uint8_t* codes, const int64_t* offsets, const uint8_t* quals,
+    const uint8_t* labels, const uint8_t* is_read, const int32_t* sample_idx,
+    const uint8_t* tags, const uint64_t* qhash, const double* err_table,
+    int64_t n_seqs, int64_t k, int64_t num_samples, int64_t min_node_cov,
+    uint8_t label_case, uint8_t label_ref,
+    int64_t min_anchor_cov, int64_t min_anchor_len,
+    uint64_t* out_nid, uint8_t* out_seq, int64_t* out_seq_off,
+    uint8_t* out_sign, uint8_t* out_label, int64_t* out_counts,
+    int64_t* out_roles, int32_t* out_comp,
+    uint64_t* out_e_dst, uint8_t* out_e_kind, int64_t* out_e_off,
+    uint64_t* out_c_source, uint64_t* out_c_sink,
+    int64_t* out_c_src_off, int64_t* out_c_anchor_len, int32_t* out_c_id,
+    int64_t* out_n_comps,
+    int64_t cap_nodes, int64_t cap_seq, int64_t cap_edges, int64_t cap_comps,
+    double* c_metrics, int64_t* c_ref_weight, uint8_t* c_limit,
+    int32_t* h_comp, uint8_t* h_seq, int64_t* h_seq_off,
+    int64_t* h_cov, int64_t* h_wt_w, int64_t* h_wt_n, int64_t* h_cov_off,
+    int64_t* out_n_haps, int64_t* out_retry,
+    int64_t cap_haps, int64_t cap_hseq, int64_t cap_hcov) {
+  return assemble_impl(
+      codes, offsets, quals, labels, is_read, sample_idx, tags, qhash,
+      err_table, n_seqs, k, num_samples, min_node_cov, label_case, label_ref,
+      min_anchor_cov, min_anchor_len, out_nid, out_seq, out_seq_off, out_sign,
+      out_label, out_counts, out_roles, out_comp, out_e_dst, out_e_kind,
+      out_e_off, out_c_source, out_c_sink, out_c_src_off, out_c_anchor_len,
+      out_c_id, out_n_comps, cap_nodes, cap_seq, cap_edges, cap_comps,
+      c_metrics, c_ref_weight, c_limit, h_comp, h_seq, h_seq_off, h_cov,
+      h_wt_w, h_wt_n, h_cov_off, out_n_haps, out_retry, cap_haps, cap_hseq,
+      cap_hcov);
 }
 
 // Prune one component: compress -> lowcov -> compress -> tips.

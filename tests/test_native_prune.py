@@ -87,6 +87,13 @@ def _snapshot(graph: Graph, comp_ids=None):
 def _run(ref_codes, reads, use_native: bool, monkeypatch):
     params = GraphParams(num_samples=2)
     g = Graph(params)
+    if use_native:
+        # pin the assemble_pass + Python-walks fallback (the node-table
+        # oracle below needs materialized nodes; the default fully-native
+        # walks path never materializes them — tests/test_native_walks.py
+        # covers that path on the ComponentResult surface)
+        monkeypatch.setattr(native_core, "assemble_full",
+                            lambda *a, **k: None)
     if not use_native:
         monkeypatch.setattr(
             Graph, "_prune_component_native", lambda self, c, k: False
