@@ -1192,6 +1192,8 @@ static int64_t assemble_impl(
 
   std::vector<uint8_t> rc(k);
   std::vector<double> prefix;
+  std::vector<uint64_t> ids_buf;
+  std::vector<uint8_t> signs_buf;
 
   for (int64_t si = 0; si < n_seqs; ++si) {
     int64_t lo = offsets[si], hi = offsets[si + 1];
@@ -1208,7 +1210,14 @@ static int64_t assemble_impl(
       for (int64_t j = 0; j < len; ++j)
         prefix[j + 1] = prefix[j] + err_table[qrow[j]];
     }
-    uint64_t prev_id = 0;
+    // Pass A: canonical ids/signs for the whole sequence (pure compute, no
+    // table traffic). Pass B then walks the three hash tables with the
+    // NEXT positions' slots software-prefetched — the occurrence loop is
+    // memory-latency-bound on ~6 dependent random loads per position
+    // (measured 88% of the whole native assemble cost), and the id stream
+    // is the only input the probe addresses need.
+    ids_buf.resize(m);
+    signs_buf.resize(m);
     for (int64_t p = 0; p < m; ++p) {
       const uint8_t* fwd = seq + p;
       uint8_t sign = 0;
@@ -1226,7 +1235,33 @@ static int64_t assemble_impl(
           break;
         }
       }
-      uint64_t id = hash_kmer(canon, k);
+      ids_buf[p] = hash_kmer(canon, k);
+      signs_buf[p] = sign;
+    }
+    const uint64_t tag_mix =
+        (uint64_t)tags[si] * 0x9E3779B97F4A7C15ull;
+    const uint64_t qh_si = qhash[si];
+    constexpr int64_t PF = 8;
+    uint64_t prev_id = 0;
+    for (int64_t p = 0; p < m; ++p) {
+      if (p + PF < m) {
+        uint64_t nid = ids_buf[p + PF];
+        size_t h1 = (size_t)mix64(nid) & uid_of.mask;
+        __builtin_prefetch(&uid_of.used[h1]);
+        __builtin_prefetch(&uid_of.keys[h1]);
+        size_t h3 =
+            (size_t)mix64(ids_buf[p + PF - 1] ^ mix64(nid)) & seen_pairs.mask;
+        __builtin_prefetch(&seen_pairs.used[h3]);
+        __builtin_prefetch(&seen_pairs.s[h3]);
+        if (read) {
+          size_t h2 = (size_t)mix64(qh_si ^ mix64(nid) ^ tag_mix) &
+                      seen_triples.mask;
+          __builtin_prefetch(&seen_triples.used[h2]);
+          __builtin_prefetch(&seen_triples.q[h2]);
+        }
+      }
+      uint64_t id = ids_buf[p];
+      uint8_t sign = signs_buf[p];
       if (is_ref_seq) ref_node_ids.push_back(id);
 
       bool inserted;
