@@ -121,18 +121,28 @@ def bench_e2e_pipeline(ref_kb: int, threads: int = 8, n_runs: int = 3):
 
 
 def _warm_executor_kernels():
-    """Compile every Mosaic kernel shape the executor run will dispatch
-    (R0 span @ pair_chunk 8192, R1/R2 evidence @ pass-2 bucket 2048): the
-    tunnel backend does not reuse persisted executables, and a shape that
-    first appears inside a timed run would poison it (observed: run1 at
-    0.37 win/s because the R=2 compile landed there)."""
+    """Compile every Mosaic kernel shape the executor run will dispatch:
+    the tunnel backend does not reuse persisted executables, and a shape
+    that first appears inside a timed run would poison it (observed: run1
+    at 0.37 win/s because the R=2 compile landed there).
+
+    Shapes: R0 span @ 8192 and the 65536 super-chunk; R1 evidence @ the
+    8192 bulk chunk (both Lt crops); R1/R2 evidence @ the 2048 remainder
+    chunk (both Lt crops)."""
+    import jax.numpy as jnp
     import numpy as np
 
     from lancet2_tpu.ops.evidence_pallas import (
+        _device_call,
+        _span_call,
+        B_TILE,
         evidence_pairs_submit,
         span_pairs_submit,
     )
 
+    import jax
+
+    interpret = jax.default_backend() == "cpu"
     rng = np.random.default_rng(0)
     Lq, Lt, B, B2 = 160, 384, 8192, 2048
     q = rng.integers(0, 4, (B, Lq)).astype(np.uint8)
@@ -142,7 +152,27 @@ def _warm_executor_kernels():
     tl = np.full(B, 317, np.int64)
     iout, _f, _b = span_pairs_submit(q, qu, ql, t, tl)
     np.asarray(iout)
-    for lt in (384, 256):  # full band + the pass-2 crop bucket
+    # span super-chunk (65536) + R=1 bulk evidence (8192): the executor's
+    # indexed path dispatches these executables directly
+    for mult in (8, 4):  # the 65536 and 32768 span super-chunk shapes
+        qb = jnp.asarray(np.tile(q, (mult, 1)))
+        tb = jnp.asarray(np.tile(t, (mult, 1)))
+        qlb = jnp.asarray(np.tile(ql, mult)[:, None].astype(np.int32))
+        tlb = jnp.asarray(np.tile(tl, mult)[:, None].astype(np.int32))
+        np.asarray(_span_call(qb, qlb, tb, tlb, Lq=Lq, Lt=Lt, b_tile=B_TILE,
+                              interpret=interpret))
+    for lt in (384, 256):
+        reg8 = np.zeros((B, 8), np.int32)
+        reg8[:, 0], reg8[:, 4] = 100, 101
+        iout, _f2 = _device_call(
+            jnp.asarray(q), jnp.asarray(qu), jnp.asarray(t[:, :lt]),
+            jnp.asarray(ql[:, None].astype(np.int32)),
+            jnp.asarray(np.minimum(tl, lt - 20)[:, None].astype(np.int32)),
+            jnp.asarray(reg8), Lq=Lq, Lt=lt, R=1, b_tile=B_TILE,
+            interpret=interpret,
+        )
+        np.asarray(iout)
+    for lt in (384, 256):  # 2048 remainder chunks, R=1 and R=2
         tt, ttl = t[:B2, :lt], np.minimum(tl[:B2], lt - 20)
         reg = np.zeros((B2, 4, 2), np.int32)
         reg[:, 0] = (100, 101)

@@ -853,14 +853,27 @@ class Genotyper:
             )
             pend = [(iout, 0, n)]
         else:
+            # super-chunking: a batch group carries ~65k pairs, and each
+            # submit costs two tunnel dispatches (gather + kernel) at a
+            # ~20-40 ms floor each — one full 8*chunk super-chunk replaces
+            # eight chunk-sized submits (grid size is the only executable
+            # difference; the Mosaic tile program is identical). A larger
+            # size is used ONLY when the remainder fills it: padded rows
+            # run the full row loop, so half-empty super-chunks would cost
+            # more kernel time than the dispatches they save.
+            sizes = (chunk * 8, chunk * 4, chunk)
             pend = []
-            for lo in range(0, n, chunk):
-                hi = min(lo + chunk, n)
+            lo = 0
+            while lo < n:
+                rem = n - lo
+                sz = next((s for s in sizes[:-1] if rem >= s), sizes[-1])
+                hi = min(lo + sz, n)
                 iout = span_indexed_submit(
                     dev, read_ix[lo:hi], hap_ix[lo:hi], band_start[lo:hi],
-                    tlens[lo:hi], lt, chunk,
+                    tlens[lo:hi], lt, sz,
                 )
                 pend.append((iout, lo, hi))
+                lo = hi
             for iout, *_rest in pend:
                 iout.copy_to_host_async()
         # pass-1 dispatches are in flight; everything from the span read
@@ -957,6 +970,10 @@ class Genotyper:
             lt_of = np.where(c_len <= small, small, lt)
 
             cap = min(chunk, 2048)
+            # R=1 carries the bulk of pass 2: chunk it 4x larger (same
+            # dispatch-floor argument as the span super-chunks); R=2 is
+            # rare and keeps the small shape
+            cap_big = min(chunk, 8192)
             pend2 = []
             use_mesh2 = self.mesh is not None
             classes = [
@@ -983,8 +1000,13 @@ class Genotyper:
                     )
                     pend2.append((iout, fout, sel, R))
                     continue
-                for lo in range(0, sel.size, cap):
-                    idx = sel[lo : lo + cap]
+                lo = 0
+                while lo < sel.size:
+                    rem = sel.size - lo
+                    # bulk chunks only when FULL (padded rows cost full
+                    # kernel rows); R=2 is rare and keeps the small shape
+                    use_cap = cap_big if (R == 1 and rem >= cap_big) else cap
+                    idx = sel[lo : lo + use_cap]
                     reg8 = np.concatenate(
                         [regions[idx, :, 0] - c_off[idx, None],
                          regions[idx, :, 1] - c_off[idx, None]], axis=1
@@ -992,9 +1014,10 @@ class Genotyper:
                     iout, fout = evidence_indexed_submit(
                         dev, read_ix[idx], hap_ix[idx],
                         band_start[idx] + c_off[idx], c_len[idx], reg8,
-                        L, cap, R=R,
+                        L, use_cap, R=R,
                     )
                     pend2.append((iout, fout, idx, R))
+                    lo += idx.size
             for iout, fout, *_rest in pend2:
                 iout.copy_to_host_async()
                 fout.copy_to_host_async()
@@ -1123,7 +1146,12 @@ class Genotyper:
         nm = np.asarray(outs["nm"])
 
         n_reads = len(reads)
-        read_len = np.fromiter((r.length for r in reads), np.int64, n_reads)
+        if hasattr(reads, "length"):  # ReadCols (columnar payload)
+            read_len = reads.length
+        else:
+            read_len = np.fromiter(
+                (r.length for r in reads), np.int64, n_reads
+            )
         min_score = (self.min_score_frac * read_len).astype(np.int64)
         pm = (score >= min_score[meta_r]) & (t_end > t_start)
 
@@ -1177,28 +1205,45 @@ class Genotyper:
             if prev is None or combined[c] > prev[0]:
                 per_read[vi] = (combined[c], c, allele)
 
+        columnar = hasattr(reads, "flags")
         for r in sorted(winners):
-            read = reads[r]
-            strand = STRAND_REV if read.is_reverse else STRAND_FWD
+            if columnar:
+                fl = int(reads.flags[r])
+                strand = STRAND_REV if fl & 4 else STRAND_FWD
+                sample_name = reads.sample_names[reads.sample_idx[r]]
+                insert_size = int(reads.insert_size[r])
+                start0 = int(reads.start0[r])
+                qname_hash = int(reads.qname_hash[r])
+                mapq = int(reads.mapq[r])
+                is_clip, is_pp = bool(fl & 1), bool(fl & 2)
+            else:
+                read = reads[r]
+                strand = STRAND_REV if read.is_reverse else STRAND_FWD
+                sample_name = read.sample_name
+                insert_size = read.insert_size
+                start0 = read.start0
+                qname_hash = read.qname_hash
+                mapq = read.mapq
+                is_clip, is_pp = read.is_soft_clipped, read.is_proper_pair
             for vi, (comb, c, allele) in winners[r].items():
                 supports = result.setdefault(vi, {})
-                support = supports.setdefault(read.sample_name, VariantSupport())
+                support = supports.setdefault(sample_name, VariantSupport())
                 support.add_evidence(
                     ReadEvidence(
-                        insert_size=read.insert_size,
-                        alignment_start=read.start0,
+                        insert_size=insert_size,
+                        alignment_start=start0,
                         aln_score=float(comb),
                         folded_read_pos=float(folded[c]),
-                        rname_hash=read.qname_hash & 0xFFFFFFFF,
+                        rname_hash=qname_hash & 0xFFFFFFFF,
                         ref_nm=int(baseline[r]),
                         own_hap_nm=int(own_nm[c]),
                         assigned_haplotype_id=int(hap_of[c]),
                         allele=int(allele),
                         strand=strand,
                         base_qual=int(bq[c]),
-                        map_qual=read.mapq,
-                        is_soft_clipped=read.is_soft_clipped,
-                        is_proper_pair=read.is_proper_pair,
+                        map_qual=mapq,
+                        is_soft_clipped=is_clip,
+                        is_proper_pair=is_pp,
                     )
                 )
         return result

@@ -49,6 +49,52 @@ class ReadLite(NamedTuple):
     is_reverse: bool
 
 
+class ReadCols:
+    """Columnar ReadLite: one numpy array per field instead of ~500
+    NamedTuples per window. The payload pickles/unpickles in ~10 us and the
+    EXECUTOR process — the contended CPU while prep and the device stream
+    overlap — no longer deserializes thousands of per-read objects per
+    batch. assemble_evidence_packed reads fields either vectorized
+    (read_len) or per WINNER row only (a handful per window)."""
+
+    __slots__ = ("length", "start0", "insert_size", "qname_hash", "mapq",
+                 "flags", "sample_idx", "sample_names")
+
+    F_SOFT_CLIPPED, F_PROPER_PAIR, F_REVERSE = 1, 2, 4
+
+    def __init__(self, reads):
+        n = len(reads)
+        self.length = np.empty(n, np.int64)
+        self.start0 = np.empty(n, np.int64)
+        self.insert_size = np.empty(n, np.int64)
+        self.qname_hash = np.empty(n, np.uint64)
+        self.mapq = np.empty(n, np.int32)
+        self.flags = np.empty(n, np.uint8)
+        self.sample_idx = np.empty(n, np.int16)
+        names: list[str] = []
+        name_of: dict[str, int] = {}
+        for i, r in enumerate(reads):
+            self.length[i] = r.length
+            self.start0[i] = r.start0
+            self.insert_size[i] = r.insert_size
+            self.qname_hash[i] = r.qname_hash
+            self.mapq[i] = r.mapq
+            self.flags[i] = (
+                (1 if r.is_soft_clipped else 0)
+                | (2 if r.is_proper_pair else 0)
+                | (4 if r.is_reverse else 0)
+            )
+            si = name_of.get(r.sample_name)
+            if si is None:
+                si = name_of[r.sample_name] = len(names)
+                names.append(r.sample_name)
+            self.sample_idx[i] = si
+        self.sample_names = names
+
+    def __len__(self) -> int:
+        return len(self.length)
+
+
 class PackedComponent(NamedTuple):
     variants: list
     anchor_pos1: int
@@ -256,16 +302,7 @@ def prepare_and_pack(builder, genotyper, window, band_margin,
             else:
                 pairs.update(arrays)
 
-        reads_lite = [
-            ReadLite(
-                length=r.length, sample_name=r.sample_name,
-                insert_size=r.insert_size, start0=r.start0,
-                qname_hash=r.qname_hash, mapq=r.mapq,
-                is_soft_clipped=r.is_soft_clipped,
-                is_proper_pair=r.is_proper_pair, is_reverse=r.is_reverse,
-            )
-            for r in prepared.reads
-        ]
+        reads_lite = ReadCols(prepared.reads)
 
     return PackedWindow(
         window, code, dict(timer.totals), dict(timer.counts),
