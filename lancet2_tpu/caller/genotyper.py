@@ -861,7 +861,12 @@ class Genotyper:
             # size is used ONLY when the remainder fills it: padded rows
             # run the full row loop, so half-empty super-chunks would cost
             # more kernel time than the dispatches they save.
-            sizes = (chunk * 8, chunk * 4, chunk)
+            import os as _os
+
+            if _os.environ.get("LANCET2_SPAN_SUPER", "1") == "1":
+                sizes = (chunk * 8, chunk * 4, chunk)
+            else:
+                sizes = (chunk,)
             pend = []
             lo = 0
             while lo < n:
@@ -1000,12 +1005,17 @@ class Genotyper:
                     )
                     pend2.append((iout, fout, sel, R))
                     continue
+                import os as _os
+
+                p2_big = _os.environ.get("LANCET2_PASS2_BIG", "1") == "1"
                 lo = 0
                 while lo < sel.size:
                     rem = sel.size - lo
                     # bulk chunks only when FULL (padded rows cost full
                     # kernel rows); R=2 is rare and keeps the small shape
-                    use_cap = cap_big if (R == 1 and rem >= cap_big) else cap
+                    use_cap = cap_big if (
+                        p2_big and R == 1 and rem >= cap_big
+                    ) else cap
                     idx = sel[lo : lo + use_cap]
                     reg8 = np.concatenate(
                         [regions[idx, :, 0] - c_off[idx, None],
