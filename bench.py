@@ -266,17 +266,19 @@ def bench_evidence_pallas():
     return B * Lq * Lt / per / 1e9, per
 
 
-def bench_span_kernel():
-    """Amortized R=0 span-kernel rate (pass 1 of the two-pass dispatch) at
-    the executor shape — all output lanes consumed by the chained carry.
-    Uses the lean span entry (quals/conf/flank planes are dead for R=0 and
-    no longer exist in its signature)."""
+def bench_span_kernel_at(B: int):
+    """Amortized R=0 span-kernel rate at batch size B — all output lanes
+    consumed by the chained carry. Uses the lean span entry (quals/conf/
+    flank planes are dead for R=0 and no longer exist in its signature).
+    Measured at 2048 (history-comparable) AND at the 32768 production
+    super-chunk: the kernel rate scales strongly with grid size
+    (11.6 -> 28.9 GCUPS measured 2048 -> 65536)."""
     import jax
     import jax.numpy as jnp
 
     from lancet2_tpu.ops.evidence_pallas import _span_call
 
-    B, Lq, Lt, K = 2048, 160, 384, 4
+    Lq, Lt, K = 160, 384, 4
     rng = np.random.default_rng(4)
     q = jnp.asarray(rng.integers(0, 4, (B, Lq)), jnp.uint8)
     ql = jnp.full((B, 1), Lq, jnp.int32)
@@ -472,7 +474,8 @@ def main():
 
     sw_gcups, sw_dt = bench_sw_kernel()
     ev_gcups, ev_dt = bench_evidence_pallas()
-    span_gcups, span_dt = bench_span_kernel()
+    span_gcups, span_dt = bench_span_kernel_at(2048)
+    span32_gcups, _ = bench_span_kernel_at(32768)
     gb_win_s, gb_dt, gb_compile, gb_nodes = bench_graph_build()
     step_win_s, step_dt = bench_window_step()
 
@@ -518,8 +521,9 @@ def main():
             "evidence_kernel_gcups": round(ev_gcups, 2),
             "evidence_kernel_ms_per_2048pair_chunk": round(ev_dt * 1e3, 2),
             "span_kernel_gcups": round(span_gcups, 2),
+            "span_kernel_gcups_32k": round(span32_gcups, 2),
             "evidence_two_pass_effective_gcups": round(
-                1.0 / (1.0 / span_gcups + pass2_frac / ev_gcups), 2
+                1.0 / (1.0 / span32_gcups + pass2_frac / ev_gcups), 2
             ),
             "evidence_pass2_fraction_measured": round(pass2_frac, 4),
             "graph_build_device_windows_per_s": round(gb_win_s, 2),
