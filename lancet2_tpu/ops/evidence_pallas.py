@@ -60,12 +60,16 @@ import os as _os
 
 _PACKED_SNT = _os.environ.get("LANCET2_PACKED_SNT", "1") == "1"
 
-# output column layout (int plane width 32 / float plane width 16) — kept
-# narrow so the device->host result transfer per chunk stays small
+# output column layout — compact: R_KERNEL_MAX=2 slots per region field,
+# so the int plane is 12 wide and the float plane 8 (was 32/16 with R_MAX
+# strides — 192 B/pair; the unused columns were ~45 MB of device->host
+# transfer per 1 Mb run). Region fields are contiguous per field with
+# stride R_KERNEL_MAX, which evidence_pairs_finalize's base:base+R slices
+# rely on.
 ICOL_SCORE, ICOL_TEND, ICOL_TSTART, ICOL_NM, ICOL_OVF = 0, 1, 2, 3, 4
-ICOL_QV, ICOL_ALIGNED, ICOL_MINBQ = 8, 12, 16
-FCOL_RAW, FCOL_PBQ, FCOL_MATCH = 0, 4, 8
-IOUT_W, FOUT_W = 32, 16
+ICOL_QV, ICOL_ALIGNED, ICOL_MINBQ = 5, 7, 9
+FCOL_RAW, FCOL_PBQ, FCOL_MATCH = 0, 2, 4
+IOUT_W, FOUT_W = 12, 8
 # R=0 SPAN kernel output: 4 i32 cols = 16 B/pair (vs 192 B full layout) —
 # score (full i32), (t_end << 16) | t_start, (nm << 1) | taint, spare
 SCOL_SCORE, SCOL_SPAN, SCOL_NMOVF = 0, 1, 2
